@@ -213,3 +213,93 @@ def load_normalizer_params(path: str) -> dict:
         short = key.replace("_normalizer_params", "")
         out[short] = tuple(np.asarray(v) for v in val)
     return out
+
+
+# ---------------------------------------------------------------------------
+# UNet state-dict mapping
+# ---------------------------------------------------------------------------
+
+def _conv_params(sd: dict, prefix: str) -> dict:
+    """torch conv ``(out, in, *k)`` -> JAX ``(*k, in, out)``."""
+    w = sd[f"{prefix}.weight"]
+    kernel = np.ascontiguousarray(np.moveaxis(w, (0, 1), (-1, -2)))
+    return {"kernel": kernel, "bias": sd[f"{prefix}.bias"]}
+
+
+def _gn_params(sd: dict, prefix: str) -> dict:
+    return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
+
+
+def _dense_params(sd: dict, prefix: str) -> dict:
+    return {"kernel": np.ascontiguousarray(sd[f"{prefix}.weight"].T),
+            "bias": sd[f"{prefix}.bias"]}
+
+
+def _unet_layer_params(sd: dict, prefix: str, spec) -> dict:
+    # local import: models.unet pulls jax; keep this module importable alone
+    from confild_tpu.models.unet import (AttnSpec, ConvSpec, DownSpec, ResSpec,
+                                         UpSpec)
+
+    if isinstance(spec, ConvSpec):
+        return {"conv": _conv_params(sd, prefix)}
+    if isinstance(spec, ResSpec):
+        p = {
+            "in_norm": _gn_params(sd, f"{prefix}.in_layers.0"),
+            "in_conv": _conv_params(sd, f"{prefix}.in_layers.2"),
+            "emb": _dense_params(sd, f"{prefix}.emb_layers.1"),
+            "out_norm": _gn_params(sd, f"{prefix}.out_layers.0"),
+            "out_conv": _conv_params(sd, f"{prefix}.out_layers.3"),
+        }
+        if f"{prefix}.skip_connection.weight" in sd:
+            p["skip"] = _conv_params(sd, f"{prefix}.skip_connection")
+        return p
+    if isinstance(spec, AttnSpec):
+        return {
+            "norm": _gn_params(sd, f"{prefix}.norm"),
+            "qkv": _conv_params(sd, f"{prefix}.qkv"),
+            "proj": _conv_params(sd, f"{prefix}.proj_out"),
+        }
+    if isinstance(spec, UpSpec):
+        return ({"conv": _conv_params(sd, f"{prefix}.conv")}
+                if f"{prefix}.conv.weight" in sd else {})
+    if isinstance(spec, DownSpec):
+        return ({"conv": _conv_params(sd, f"{prefix}.op")}
+                if f"{prefix}.op.weight" in sd else {})
+    raise TypeError(spec)
+
+
+def unet_params_from_state_dict(sd: dict, model) -> dict:
+    """Map an ADM UNet torch state dict (reference ``src/unet.py:396-663``
+    module tree) onto :class:`confild_tpu.models.unet.UNetModel` params."""
+    sd = {k.removeprefix("module."): v for k, v in sd.items()}
+    plan = model.plan
+    params = {
+        "time_embed": [_dense_params(sd, "time_embed.0"),
+                       _dense_params(sd, "time_embed.2")],
+        "input_blocks": [
+            [_unet_layer_params(sd, f"input_blocks.{i}.{j}", spec)
+             for j, spec in enumerate(block)]
+            for i, block in enumerate(plan.input_blocks)
+        ],
+        "middle_block": [
+            _unet_layer_params(sd, f"middle_block.{j}", spec)
+            for j, spec in enumerate(plan.middle_block)
+        ],
+        "output_blocks": [
+            [_unet_layer_params(sd, f"output_blocks.{i}.{j}", spec)
+             for j, spec in enumerate(block)]
+            for i, block in enumerate(plan.output_blocks)
+        ],
+        "out_norm": _gn_params(sd, "out.0"),
+        "out_conv": _conv_params(sd, "out.2"),
+    }
+    if "label_emb.weight" in sd:
+        params["label_emb"] = {"embedding": sd["label_emb.weight"]}
+    return params
+
+
+def load_unet_checkpoint(path: str, model) -> dict:
+    """Load a diffusion model/EMA ``.pt`` file (a bare state dict, reference
+    ``train_util.py:272-295``) into UNet params."""
+    sd = load_torch_checkpoint(path)
+    return unet_params_from_state_dict(sd, model)

@@ -1,0 +1,167 @@
+"""NN primitives for the diffusion U-Net (reference
+``UnconditionalDiffusionTraining_and_Generation/src/nn.py``).
+
+TPU conventions: tensors are channels-last (``(B, *spatial, C)``) so convs map
+directly onto XLA's native NHWC path; the public U-Net API converts from the
+reference's NCHW contract at the boundary.  Normalizations run in float32
+regardless of the activation dtype (the reference's ``GroupNorm32``).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def timestep_embedding(timesteps: jnp.ndarray, dim: int,
+                       max_period: float = 10000.0) -> jnp.ndarray:
+    """Sinusoidal timestep embeddings, ``cos`` then ``sin`` halves exactly as
+    the reference (``src/nn.py:118-136``)."""
+    half = dim // 2
+    freqs = jnp.exp(
+        -math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half
+    )
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        emb = jnp.concatenate([emb, jnp.zeros_like(emb[:, :1])], axis=-1)
+    return emb
+
+
+def mean_flat(x: jnp.ndarray) -> jnp.ndarray:
+    """Mean over all non-batch dims."""
+    return x.mean(axis=tuple(range(1, x.ndim)))
+
+
+# ---------------------------------------------------------------------------
+# dense / conv params + apply (channels-last)
+# ---------------------------------------------------------------------------
+
+def init_dense(key, in_features: int, out_features: int, *, zero: bool = False,
+               dtype=jnp.float32) -> dict:
+    """torch nn.Linear default init: kaiming-uniform(a=sqrt(5)) == uniform
+    ±1/sqrt(in) for weights and bias."""
+    if zero:
+        return {"kernel": jnp.zeros((in_features, out_features), dtype),
+                "bias": jnp.zeros((out_features,), dtype)}
+    wkey, bkey = jax.random.split(key)
+    bound = 1.0 / math.sqrt(in_features)
+    return {
+        "kernel": jax.random.uniform(wkey, (in_features, out_features), dtype,
+                                     -bound, bound),
+        "bias": jax.random.uniform(bkey, (out_features,), dtype, -bound, bound),
+    }
+
+
+def dense(params: dict, x: jnp.ndarray) -> jnp.ndarray:
+    return x @ params["kernel"].astype(x.dtype) + params["bias"].astype(x.dtype)
+
+
+def init_conv(key, dims: int, in_ch: int, out_ch: int, kernel_size: int = 3,
+              *, zero: bool = False, dtype=jnp.float32) -> dict:
+    """Conv param init matching torch's Conv_nd default (kaiming-uniform
+    a=sqrt(5) -> uniform ±1/sqrt(fan_in)).  Kernel layout: ``(*k, in, out)``
+    (HWIO), the XLA-native layout; the torch port transposes OIHW."""
+    k = (kernel_size,) * dims
+    fan_in = in_ch * int(np.prod(k))
+    shape = (*k, in_ch, out_ch)
+    if zero:
+        return {"kernel": jnp.zeros(shape, dtype),
+                "bias": jnp.zeros((out_ch,), dtype)}
+    wkey, bkey = jax.random.split(key)
+    bound = 1.0 / math.sqrt(fan_in)
+    return {
+        "kernel": jax.random.uniform(wkey, shape, dtype, -bound, bound),
+        "bias": jax.random.uniform(bkey, (out_ch,), dtype, -bound, bound),
+    }
+
+
+_CONV_DIMNUMS = {
+    1: ("NWC", "WIO", "NWC"),
+    2: ("NHWC", "HWIO", "NHWC"),
+    3: ("NDHWC", "DHWIO", "NDHWC"),
+}
+
+
+def conv(params: dict, x: jnp.ndarray, *, stride: int | Sequence[int] = 1,
+         padding: str | int = "SAME") -> jnp.ndarray:
+    """Channels-last n-d convolution (n inferred from the kernel rank)."""
+    kernel = params["kernel"].astype(x.dtype)
+    dims = kernel.ndim - 2
+    if isinstance(stride, int):
+        stride = (stride,) * dims
+    if isinstance(padding, int):
+        padding = [(padding, padding)] * dims
+    out = jax.lax.conv_general_dilated(
+        x, kernel, window_strides=tuple(stride), padding=padding,
+        dimension_numbers=_CONV_DIMNUMS[dims],
+    )
+    return out + params["bias"].astype(x.dtype)
+
+
+def avg_pool(x: jnp.ndarray, window: Sequence[int]) -> jnp.ndarray:
+    """Average pool with stride == window (channels-last)."""
+    dims = len(window)
+    out = jax.lax.reduce_window(
+        x, 0.0, jax.lax.add,
+        window_dimensions=(1, *window, 1),
+        window_strides=(1, *window, 1),
+        padding="VALID",
+    )
+    return out / float(np.prod(window))
+
+
+# ---------------------------------------------------------------------------
+# GroupNorm32
+# ---------------------------------------------------------------------------
+
+def init_group_norm(channels: int, dtype=jnp.float32) -> dict:
+    return {"scale": jnp.ones((channels,), dtype),
+            "bias": jnp.zeros((channels,), dtype)}
+
+
+def group_norm(params: dict, x: jnp.ndarray, num_groups: int = 32,
+               eps: float = 1e-5) -> jnp.ndarray:
+    """GroupNorm over channels-last input, computed in f32 (``GroupNorm32``,
+    reference ``src/nn.py:17-19``; torch GroupNorm eps default 1e-5)."""
+    orig_dtype = x.dtype
+    x = x.astype(jnp.float32)
+    c = x.shape[-1]
+    g = min(num_groups, c)
+    assert c % g == 0, f"channels {c} not divisible by groups {g}"
+    shape = x.shape[:-1] + (g, c // g)
+    xg = x.reshape(shape)
+    red_axes = tuple(range(1, x.ndim - 1)) + (x.ndim,)
+    mean = xg.mean(axis=red_axes, keepdims=True)
+    var = xg.var(axis=red_axes, keepdims=True)
+    xg = (xg - mean) * jax.lax.rsqrt(var + eps)
+    x = xg.reshape(x.shape) * params["scale"] + params["bias"]
+    return x.astype(orig_dtype)
+
+
+def silu(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.nn.silu(x)
+
+
+def nearest_upsample(x: jnp.ndarray, dims: int) -> jnp.ndarray:
+    """2x nearest-neighbor upsample over the inner-two spatial dims for 3-D
+    and all spatial dims otherwise (reference ``src/unet.py:100-110``)."""
+    if dims == 3:
+        # (B, D, H, W, C): scale H and W only
+        x = jnp.repeat(x, 2, axis=2)
+        x = jnp.repeat(x, 2, axis=3)
+        return x
+    for ax in range(1, dims + 1):
+        x = jnp.repeat(x, 2, axis=ax)
+    return x
+
+
+def update_ema(ema_params, new_params, rate: float = 0.9999):
+    """EMA lerp: ema = rate * ema + (1-rate) * new (``src/nn.py:70-80``)."""
+    return jax.tree.map(
+        lambda e, p: e * rate + p.astype(e.dtype) * (1.0 - rate),
+        ema_params, new_params)

@@ -1,0 +1,489 @@
+"""ADM diffusion U-Net, TPU-native re-design of the reference
+``UnconditionalDiffusionTraining_and_Generation/src/unet.py``.
+
+Architecture parity (same block graph, same parameter shapes module-for-module
+so torch checkpoints port):
+
+* ``ResBlock`` with optional scale-shift GroupNorm FiLM, up/down variants
+  (reference ``unet.py:143-256``),
+* ``AttentionBlock`` with legacy or new head-split order and the
+  ``1/sqrt(sqrt(d))`` two-sided scaling (``unet.py:259-393``),
+* input/middle/output block stacks with skip concatenation and nearest
+  up / strided-conv (or avg-pool) down sampling (``unet.py:396-663``).
+
+TPU-native choices: channels-last layout end-to-end (XLA's native conv path;
+the public ``apply`` accepts the reference's channels-first contract and
+transposes at the boundary), f32 GroupNorm with an optional bf16 torso
+(replacing the reference's fp16 machinery), attention in f32 softmax,
+rematerialization via ``jax.checkpoint`` at block granularity instead of the
+reference's custom autograd Function (``src/nn.py:138-184``).
+
+The model is a pure function over an explicit param pytree; the static layer
+graph is a "plan" of spec dataclasses built once per config.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from confild_tpu.models import nn as tnn
+
+Params = Any
+
+
+# ---------------------------------------------------------------------------
+# layer specs (static plan nodes)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class ConvSpec:
+    dims: int
+    in_ch: int
+    out_ch: int
+    kernel: int = 3
+    stride: int = 1
+    zero: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class ResSpec:
+    dims: int
+    in_ch: int
+    out_ch: int
+    emb_ch: int
+    use_scale_shift_norm: bool = False
+    up: bool = False
+    down: bool = False
+    use_conv_skip: bool = False
+    dropout: float = 0.0
+
+
+@dataclasses.dataclass(frozen=True)
+class AttnSpec:
+    ch: int
+    num_heads: int
+    new_order: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class UpSpec:
+    dims: int
+    in_ch: int
+    out_ch: int
+    use_conv: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class DownSpec:
+    dims: int
+    in_ch: int
+    out_ch: int
+    use_conv: bool = True
+
+
+# ---------------------------------------------------------------------------
+# config + plan
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class UNetConfig:
+    image_size: int
+    in_channels: int
+    model_channels: int
+    out_channels: int
+    num_res_blocks: int
+    attention_resolutions: tuple[int, ...]  # downsample factors (ds), not res
+    dropout: float = 0.0
+    channel_mult: tuple[float, ...] = (1, 2, 4, 8)
+    conv_resample: bool = True
+    dims: int = 2
+    num_classes: int | None = None
+    num_heads: int = 1
+    num_head_channels: int = -1
+    num_heads_upsample: int = -1
+    use_scale_shift_norm: bool = False
+    resblock_updown: bool = False
+    use_new_attention_order: bool = False
+    torso_dtype: Any = jnp.float32     # set jnp.bfloat16 for a bf16 torso
+    use_checkpoint: bool = False       # remat each top-level block
+
+    @property
+    def emb_ch(self) -> int:
+        return self.model_channels * 4
+
+    def heads_for(self, ch: int, upsample: bool = False) -> int:
+        if self.num_head_channels != -1:
+            assert ch % self.num_head_channels == 0
+            return ch // self.num_head_channels
+        if upsample and self.num_heads_upsample != -1:
+            return self.num_heads_upsample
+        return self.num_heads
+
+
+@dataclasses.dataclass(frozen=True)
+class UNetPlan:
+    input_blocks: tuple[tuple[Any, ...], ...]
+    middle_block: tuple[Any, ...]
+    output_blocks: tuple[tuple[Any, ...], ...]
+    out_ch_final: int
+
+
+def build_plan(cfg: UNetConfig) -> UNetPlan:
+    """Mirror of the reference block construction (``unet.py:478-615``)."""
+    mc, emb_ch = cfg.model_channels, cfg.emb_ch
+    ch = input_ch = int(cfg.channel_mult[0] * mc)
+    input_blocks: list[tuple[Any, ...]] = [
+        (ConvSpec(cfg.dims, cfg.in_channels, ch),)
+    ]
+    input_block_chans = [ch]
+    ds = 1
+    for level, mult in enumerate(cfg.channel_mult):
+        for _ in range(cfg.num_res_blocks):
+            layers: list[Any] = [ResSpec(
+                cfg.dims, ch, int(mult * mc), emb_ch,
+                cfg.use_scale_shift_norm, dropout=cfg.dropout)]
+            ch = int(mult * mc)
+            if ds in cfg.attention_resolutions:
+                layers.append(AttnSpec(ch, cfg.heads_for(ch),
+                                       cfg.use_new_attention_order))
+            input_blocks.append(tuple(layers))
+            input_block_chans.append(ch)
+        if level != len(cfg.channel_mult) - 1:
+            if cfg.resblock_updown:
+                input_blocks.append((ResSpec(
+                    cfg.dims, ch, ch, emb_ch, cfg.use_scale_shift_norm,
+                    down=True, dropout=cfg.dropout),))
+            else:
+                input_blocks.append((DownSpec(cfg.dims, ch, ch,
+                                              cfg.conv_resample),))
+            input_block_chans.append(ch)
+            ds *= 2
+
+    middle_block = (
+        ResSpec(cfg.dims, ch, ch, emb_ch, cfg.use_scale_shift_norm,
+                dropout=cfg.dropout),
+        AttnSpec(ch, cfg.heads_for(ch), cfg.use_new_attention_order),
+        ResSpec(cfg.dims, ch, ch, emb_ch, cfg.use_scale_shift_norm,
+                dropout=cfg.dropout),
+    )
+
+    output_blocks: list[tuple[Any, ...]] = []
+    for level, mult in list(enumerate(cfg.channel_mult))[::-1]:
+        for i in range(cfg.num_res_blocks + 1):
+            ich = input_block_chans.pop()
+            layers = [ResSpec(
+                cfg.dims, ch + ich, int(mc * mult), emb_ch,
+                cfg.use_scale_shift_norm, dropout=cfg.dropout)]
+            ch = int(mc * mult)
+            if ds in cfg.attention_resolutions:
+                layers.append(AttnSpec(ch, cfg.heads_for(ch, upsample=True),
+                                       cfg.use_new_attention_order))
+            if level and i == cfg.num_res_blocks:
+                if cfg.resblock_updown:
+                    layers.append(ResSpec(
+                        cfg.dims, ch, ch, emb_ch, cfg.use_scale_shift_norm,
+                        up=True, dropout=cfg.dropout))
+                else:
+                    layers.append(UpSpec(cfg.dims, ch, ch, cfg.conv_resample))
+                ds //= 2
+            output_blocks.append(tuple(layers))
+
+    return UNetPlan(tuple(input_blocks), middle_block, tuple(output_blocks),
+                    out_ch_final=input_ch)
+
+
+# ---------------------------------------------------------------------------
+# per-layer init/apply
+# ---------------------------------------------------------------------------
+
+def _init_layer(key, spec) -> Params:
+    if isinstance(spec, ConvSpec):
+        return {"conv": tnn.init_conv(key, spec.dims, spec.in_ch, spec.out_ch,
+                                      spec.kernel, zero=spec.zero)}
+    if isinstance(spec, ResSpec):
+        k = jax.random.split(key, 4)
+        p = {
+            "in_norm": tnn.init_group_norm(spec.in_ch),
+            "in_conv": tnn.init_conv(k[0], spec.dims, spec.in_ch, spec.out_ch),
+            "emb": tnn.init_dense(
+                k[1], spec.emb_ch,
+                2 * spec.out_ch if spec.use_scale_shift_norm else spec.out_ch),
+            "out_norm": tnn.init_group_norm(spec.out_ch),
+            "out_conv": tnn.init_conv(k[2], spec.dims, spec.out_ch,
+                                      spec.out_ch, zero=True),
+        }
+        if spec.out_ch != spec.in_ch:
+            p["skip"] = tnn.init_conv(
+                k[3], spec.dims, spec.in_ch, spec.out_ch,
+                3 if spec.use_conv_skip else 1)
+        return p
+    if isinstance(spec, AttnSpec):
+        k = jax.random.split(key, 2)
+        return {
+            "norm": tnn.init_group_norm(spec.ch),
+            "qkv": tnn.init_conv(k[0], 1, spec.ch, spec.ch * 3, 1),
+            "proj": tnn.init_conv(k[1], 1, spec.ch, spec.ch, 1, zero=True),
+        }
+    if isinstance(spec, UpSpec):
+        if spec.use_conv:
+            return {"conv": tnn.init_conv(key, spec.dims, spec.in_ch, spec.out_ch)}
+        return {}
+    if isinstance(spec, DownSpec):
+        if spec.use_conv:
+            return {"conv": tnn.init_conv(key, spec.dims, spec.in_ch, spec.out_ch)}
+        return {}
+    raise TypeError(spec)
+
+
+def _resample(x, dims: int, up: bool):
+    if up:
+        return tnn.nearest_upsample(x, dims)
+    window = (1, 2, 2) if dims == 3 else (2,) * dims
+    return tnn.avg_pool(x, window)
+
+
+def _apply_res(p: Params, spec: ResSpec, x, emb, *, dropout_rng=None):
+    h = tnn.silu(tnn.group_norm(p["in_norm"], x))
+    if spec.up or spec.down:
+        h = _resample(h, spec.dims, spec.up)
+        x = _resample(x, spec.dims, spec.up)
+    h = tnn.conv(p["in_conv"], h)
+    emb_out = tnn.dense(p["emb"], tnn.silu(emb)).astype(h.dtype)
+    # broadcast emb over spatial dims: (B, C) -> (B, 1, ..., 1, C)
+    emb_out = emb_out.reshape(emb_out.shape[0],
+                              *(1,) * (h.ndim - 2), emb_out.shape[-1])
+    if spec.use_scale_shift_norm:
+        scale, shift = jnp.split(emb_out, 2, axis=-1)
+        h = tnn.group_norm(p["out_norm"], h) * (1 + scale) + shift
+        h = tnn.silu(h)
+    else:
+        h = h + emb_out
+        h = tnn.silu(tnn.group_norm(p["out_norm"], h))
+    if spec.dropout > 0 and dropout_rng is not None:
+        keep = 1.0 - spec.dropout
+        mask = jax.random.bernoulli(dropout_rng, keep, h.shape)
+        h = jnp.where(mask, h / keep, 0).astype(h.dtype)
+    h = tnn.conv(p["out_conv"], h)
+    skip = tnn.conv(p["skip"], x) if "skip" in p else x
+    return skip + h
+
+
+def _apply_attn(p: Params, spec: AttnSpec, x):
+    b, *spatial, c = x.shape
+    n = int(np.prod(spatial))
+    h = x.reshape(b, n, c)
+    h_norm = tnn.group_norm(p["norm"], h)
+    qkv = tnn.conv(p["qkv"], h_norm)  # (B, N, 3C)
+    heads, d = spec.num_heads, c // spec.num_heads
+    if spec.new_order:
+        # qkv channel layout: [q(all heads), k, v]
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(b, n, heads, d)
+        k = k.reshape(b, n, heads, d)
+        v = v.reshape(b, n, heads, d)
+    else:
+        # legacy layout: per-head [q(d), k(d), v(d)] interleaved
+        qkv = qkv.reshape(b, n, heads, 3 * d)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+    scale = 1.0 / np.sqrt(np.sqrt(d))
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k * scale,
+                        preferred_element_type=jnp.float32)
+    weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
+    out = out.reshape(b, n, c)
+    out = tnn.conv(p["proj"], out)
+    return (h + out).reshape(b, *spatial, c)
+
+
+def _apply_layer(p: Params, spec, x, emb, *, dropout_rng=None):
+    if isinstance(spec, ConvSpec):
+        return tnn.conv(p["conv"], x, stride=spec.stride)
+    if isinstance(spec, ResSpec):
+        return _apply_res(p, spec, x, emb, dropout_rng=dropout_rng)
+    if isinstance(spec, AttnSpec):
+        return _apply_attn(p, spec, x)
+    if isinstance(spec, UpSpec):
+        x = tnn.nearest_upsample(x, spec.dims)
+        return tnn.conv(p["conv"], x) if "conv" in p else x
+    if isinstance(spec, DownSpec):
+        if "conv" in p:
+            stride = (1, 2, 2) if spec.dims == 3 else 2
+            return tnn.conv(p["conv"], x, stride=stride, padding=1)
+        return _resample(x, spec.dims, up=False)
+    raise TypeError(spec)
+
+
+# ---------------------------------------------------------------------------
+# whole-model init / apply
+# ---------------------------------------------------------------------------
+
+class UNetModel:
+    """Config + plan bundle with pure ``init`` / ``apply``."""
+
+    def __init__(self, cfg: UNetConfig):
+        self.cfg = cfg
+        self.plan = build_plan(cfg)
+
+    def init(self, key) -> Params:
+        cfg, plan = self.cfg, self.plan
+        n_blocks = (len(plan.input_blocks) + len(plan.middle_block)
+                    + len(plan.output_blocks) + 4)
+        keys = iter(jax.random.split(key, 200 + n_blocks * 8))
+
+        params: dict[str, Any] = {
+            "time_embed": [
+                tnn.init_dense(next(keys), cfg.model_channels, cfg.emb_ch),
+                tnn.init_dense(next(keys), cfg.emb_ch, cfg.emb_ch),
+            ],
+        }
+        if cfg.num_classes is not None:
+            params["label_emb"] = {
+                "embedding": jax.random.normal(
+                    next(keys), (cfg.num_classes, cfg.emb_ch)) }
+        params["input_blocks"] = [
+            [_init_layer(next(keys), spec) for spec in block]
+            for block in plan.input_blocks
+        ]
+        params["middle_block"] = [
+            _init_layer(next(keys), spec) for spec in plan.middle_block]
+        params["output_blocks"] = [
+            [_init_layer(next(keys), spec) for spec in block]
+            for block in plan.output_blocks
+        ]
+        params["out_norm"] = tnn.init_group_norm(plan.out_ch_final)
+        params["out_conv"] = tnn.init_conv(
+            next(keys), cfg.dims, plan.out_ch_final, cfg.out_channels,
+            zero=True)
+        return params
+
+    def apply(self, params: Params, x: jnp.ndarray, timesteps: jnp.ndarray,
+              y: jnp.ndarray | None = None, *, channels_first: bool = True,
+              dropout_rng=None) -> jnp.ndarray:
+        """Forward pass.  ``x``: ``(B, C, *spatial)`` when ``channels_first``
+        (the reference contract) else ``(B, *spatial, C)``."""
+        cfg, plan = self.cfg, self.plan
+        if channels_first:
+            x = jnp.moveaxis(x, 1, -1)
+
+        emb = tnn.dense(params["time_embed"][0],
+                        tnn.timestep_embedding(timesteps, cfg.model_channels))
+        emb = tnn.dense(params["time_embed"][1], tnn.silu(emb))
+        if cfg.num_classes is not None:
+            assert y is not None, "class-conditional model needs y"
+            emb = emb + params["label_emb"]["embedding"][y]
+
+        in_dtype = x.dtype
+        h = x.astype(cfg.torso_dtype)
+
+        def run_block(block_params, block_specs, h, emb, rng):
+            for i, (p, spec) in enumerate(zip(block_params, block_specs)):
+                sub_rng = (jax.random.fold_in(rng, i)
+                           if rng is not None else None)
+                h = _apply_layer(p, spec, h, emb, dropout_rng=sub_rng)
+            return h
+
+        maybe_ckpt = jax.checkpoint(run_block, static_argnums=(1,)) \
+            if cfg.use_checkpoint else run_block
+
+        hs = []
+        for bi, (bp, bs) in enumerate(zip(params["input_blocks"],
+                                          plan.input_blocks)):
+            rng = (jax.random.fold_in(dropout_rng, bi)
+                   if dropout_rng is not None else None)
+            h = maybe_ckpt(bp, bs, h, emb, rng)
+            hs.append(h)
+
+        rng = (jax.random.fold_in(dropout_rng, 1000)
+               if dropout_rng is not None else None)
+        h = maybe_ckpt(params["middle_block"], plan.middle_block, h, emb, rng)
+
+        for bi, (bp, bs) in enumerate(zip(params["output_blocks"],
+                                          plan.output_blocks)):
+            rng = (jax.random.fold_in(dropout_rng, 2000 + bi)
+                   if dropout_rng is not None else None)
+            h = jnp.concatenate([h, hs.pop()], axis=-1)
+            h = maybe_ckpt(bp, bs, h, emb, rng)
+
+        h = h.astype(in_dtype)
+        h = tnn.silu(tnn.group_norm(params["out_norm"], h))
+        h = tnn.conv(params["out_conv"], h)
+        if channels_first:
+            h = jnp.moveaxis(h, -1, 1)
+        return h
+
+    def __call__(self, params, x, timesteps, y=None, **kw):
+        return self.apply(params, x, timesteps, y, **kw)
+
+
+# ---------------------------------------------------------------------------
+# factory mirroring the reference create_model (script_util.py:130-187)
+# ---------------------------------------------------------------------------
+
+_DEFAULT_CHANNEL_MULT = {
+    512: (0.5, 1, 1, 2, 2, 4, 4),
+    256: (1, 1, 2, 2, 4, 4),
+    128: (1, 1, 2, 3, 4),
+    64: (1, 2, 3, 4),
+}
+
+
+def create_model(
+    image_size: int,
+    num_channels: int,
+    num_res_blocks: int,
+    dims: int = 2,
+    out_channels: int = 1,
+    channel_mult: str | Sequence[float] | None = None,
+    learn_sigma: bool = False,
+    class_cond: bool = False,
+    num_classes: int = 1000,
+    use_checkpoint: bool = False,
+    attention_resolutions: str = "16",
+    num_heads: int = 1,
+    num_head_channels: int = -1,
+    num_heads_upsample: int = -1,
+    use_scale_shift_norm: bool = False,
+    dropout: float = 0.0,
+    resblock_updown: bool = False,
+    use_bf16: bool = False,
+    use_fp16: bool = False,   # accepted for recipe compat; means bf16 on TPU
+    use_new_attention_order: bool = False,
+) -> UNetModel:
+    if channel_mult is None:
+        if image_size not in _DEFAULT_CHANNEL_MULT:
+            raise ValueError(f"unsupported image size: {image_size}")
+        channel_mult = _DEFAULT_CHANNEL_MULT[image_size]
+    elif isinstance(channel_mult, str):
+        channel_mult = tuple(int(m) for m in channel_mult.split(","))
+    else:
+        channel_mult = tuple(channel_mult)
+
+    attention_ds = tuple(
+        image_size // int(res) for res in str(attention_resolutions).split(","))
+
+    cfg = UNetConfig(
+        image_size=image_size,
+        in_channels=out_channels,
+        model_channels=num_channels,
+        out_channels=out_channels if not learn_sigma else 2 * out_channels,
+        num_res_blocks=num_res_blocks,
+        attention_resolutions=attention_ds,
+        dropout=dropout,
+        channel_mult=channel_mult,
+        dims=dims,
+        num_classes=num_classes if class_cond else None,
+        num_heads=num_heads,
+        num_head_channels=num_head_channels,
+        num_heads_upsample=num_heads_upsample,
+        use_scale_shift_norm=use_scale_shift_norm,
+        resblock_updown=resblock_updown,
+        use_new_attention_order=use_new_attention_order,
+        torso_dtype=jnp.bfloat16 if (use_bf16 or use_fp16) else jnp.float32,
+        use_checkpoint=use_checkpoint,
+    )
+    return UNetModel(cfg)
