@@ -1,0 +1,183 @@
+"""Measurement operators A for guided generation: y = A(x) (+ noise).
+
+Re-design of the reference registry (``ConditionalDiffusionGeneration/src/
+guided_diffusion/measurements.py``): every operator is a pure, differentiable
+function of the latent image so ``jax.grad`` flows through the full chain
+(denorm -> CNF decode -> sensor mask) inside the jitted DPS step.
+
+The reference's ``case2/case3/case4`` operators are one parameterized
+``CNFDecodeOperator`` here (they differ only in SIREN size, normalizer source
+and mesh; reference ``measurements.py:58-226``), built through the same
+registry names.  The decode runs the fused Pallas kernel.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+import jax.numpy as jnp
+import numpy as np
+
+from confild_tpu.core import normalize as norm
+from confild_tpu.core.packing import unit_interval_to_minmax
+from confild_tpu.ops.siren_decode import siren_decode
+
+__OPERATOR__: dict[str, Callable[..., Any]] = {}
+
+
+def register_operator(name: str):
+    def wrapper(cls):
+        if name in __OPERATOR__:
+            raise NameError(f"Name {name} is already registered!")
+        __OPERATOR__[name] = cls
+        return cls
+    return wrapper
+
+
+def get_operator(name: str, **kwargs):
+    if name not in __OPERATOR__:
+        raise NameError(f"Name {name} is not defined.")
+    return __OPERATOR__[name](**kwargs)
+
+
+@register_operator(name="inpainting")
+@dataclasses.dataclass
+class InpaintingOperator:
+    """Mask multiply (reference ``measurements.py:40-56``)."""
+
+    mask: Any = None
+
+    def forward(self, data, mask=None, **kwargs):
+        m = mask if mask is not None else self.mask
+        if m is None:
+            raise ValueError("Require mask")
+        return data * m
+
+    def transpose(self, data, **kwargs):
+        return data
+
+    def ortho_project(self, data, **kwargs):
+        return data - self.forward(data, **kwargs)
+
+
+@dataclasses.dataclass
+class CNFDecodeOperator:
+    """Differentiable CNF decode operator: latent image -> sensor fields.
+
+    forward(data):
+      1. ``_unnorm``: diffusion [-1, 1] -> latent range via (max_val, min_val)
+         (reference ``measurements.py:88-89``),
+      2. flatten ``(s, c, t, l) -> (s*c*t, l)`` latent rows,
+      3. decode through the (frozen) SIREN at ``coords`` with the CNF x/y
+         normalizers (``inference_function.py:22-48``),
+      4. apply the sensor ``mask``.
+    """
+
+    params: Any                        # SIREN param pytree (frozen)
+    coords: Any                        # (M, dims) physical query points
+    x_normalizer: norm.Normalizer
+    y_normalizer: norm.Normalizer
+    max_val: Any                       # latent-range scalers
+    min_val: Any
+    mask: Any = None                   # sensor mask, broadcastable to fields
+    w0: float = 30.0
+    use_pallas: bool = True
+
+    def __post_init__(self):
+        self.norm_coords = jnp.asarray(
+            self.x_normalizer.normalize(jnp.asarray(self.coords, jnp.float32)))
+
+    def _unnorm(self, data):
+        return unit_interval_to_minmax(data, jnp.asarray(self.max_val),
+                                       jnp.asarray(self.min_val))
+
+    def decode_latents(self, latents):
+        """(T, L) latent rows -> (T, M, C_out) physical fields."""
+        fields = siren_decode(self.params, self.norm_coords, latents,
+                              w0=self.w0, use_pallas=self.use_pallas)
+        return self.y_normalizer.denormalize(fields)
+
+    def forward(self, data, mask=None, **kwargs):
+        """data: (S, 1, T, L) latent image in [-1, 1] -> masked fields."""
+        m = mask if mask is not None else self.mask
+        lat = self._unnorm(data)
+        s, c, t, l = lat.shape
+        rows = lat.reshape(s * c * t, l)
+        fields = self.decode_latents(rows)
+        if m is not None:
+            fields = fields * m
+        return fields
+
+
+def _load_cnf_assets(ckpt_path: str, normalizer_params_path: str | None,
+                     y_channels: int | None = None,
+                     x_params=None, y_params=None):
+    from confild_tpu.io.torch_port import (load_cnf_checkpoint,
+                                           load_normalizer_params)
+
+    params = load_cnf_checkpoint(ckpt_path)["params"]
+    if normalizer_params_path is not None:
+        np_par = load_normalizer_params(normalizer_params_path)
+        x_params = np_par["x"]
+        y_params = np_par["y"]
+        if y_channels is not None:
+            y_params = (y_params[0][..., :y_channels],
+                        y_params[1][..., :y_channels])
+    x_norm = norm.Normalizer(x_params, "-11", 0)
+    y_norm = norm.Normalizer(y_params, "-11", 0)
+    return params, x_norm, y_norm
+
+
+@register_operator(name="case2")
+def case2_operator(ckpt_path: str, max_val, min_val, coords, batch_size=None,
+                   device=None, **kw):
+    """Channel-flow operator with the reference's hard-coded normalizer
+    constants (``measurements.py:58-97``)."""
+    params, x_norm, y_norm = _load_cnf_assets(
+        ckpt_path, None,
+        x_params=(np.array([1.0, 1.0], np.float32),
+                  np.array([0.0, 0.0], np.float32)),
+        y_params=(np.array([[0.9617, 0.2666, 0.2869, 0.0290]], np.float32),
+                  np.array([[-0.0051, -0.2073, -0.2619, -0.0419]], np.float32)))
+    return CNFDecodeOperator(params, coords, x_norm, y_norm,
+                             np.asarray(max_val), np.asarray(min_val))
+
+
+@register_operator(name="case3")
+def case3_operator(coords, max_val, min_val, normalizer_params_path,
+                   ckpt_path, batch_size=None, device=None, **kw):
+    params, x_norm, y_norm = _load_cnf_assets(
+        ckpt_path, normalizer_params_path, y_channels=2)
+    return CNFDecodeOperator(params, coords, x_norm, y_norm,
+                             np.asarray(max_val), np.asarray(min_val))
+
+
+@register_operator(name="case3_gappy")
+def case3_gappy_operator(**kw):
+    """Gappy variant: same decode, mask zeroes a field block
+    (reference ``measurements.py:139-181``); pass the gappy mask as ``mask``."""
+    return case3_operator(**kw)
+
+
+@register_operator(name="case4")
+def case4_operator(coords, max_val, min_val, normalizer_params_path,
+                   ckpt_path, batch_size=None, device=None, **kw):
+    """3-D cube operator (reference ``measurements.py:183-226``); normalizer
+    file uses hierarchical ``y_normalizer0u/0l_params`` keys."""
+    from confild_tpu.io.torch_port import (load_cnf_checkpoint,
+                                           load_torch_checkpoint)
+
+    params = load_cnf_checkpoint(ckpt_path)["params"]
+    raw = load_torch_checkpoint(normalizer_params_path)
+    if "y_normalizer0u_params" in raw:
+        x_par = tuple(np.asarray(v) for v in raw["x_normalizer_params"])
+        y_par = (np.asarray(raw["y_normalizer0u_params"]),
+                 np.asarray(raw["y_normalizer0l_params"]))
+    else:
+        x_par = tuple(np.asarray(v) for v in raw["x_normalizer_params"])
+        y_par = tuple(np.asarray(v) for v in raw["y_normalizer_params"])
+    x_norm = norm.Normalizer(x_par, "-11", 0)
+    y_norm = norm.Normalizer(y_par, "-11", 0)
+    return CNFDecodeOperator(params, coords, x_norm, y_norm,
+                             np.asarray(max_val), np.asarray(min_val))
