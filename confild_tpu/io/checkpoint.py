@@ -1,0 +1,68 @@
+"""Framework-native checkpointing.
+
+Checkpoints are plain pickled numpy pytrees (host-portable, torch-free).
+The directory layouts mirror the reference contracts so resume-discovery
+logic matches:
+
+* CNF: ``checkpoint_{epoch}.ckpt`` with model/latents/optimizer states/epoch
+  (reference ``ConditionalNeuralField/scripts/train.py:468-528``), plus a
+  one-time ``normalizer_params.ckpt`` (:204-213).
+* diffusion: ``model{step:06d}.ckpt`` / ``ema_{rate}_{step:06d}.ckpt`` /
+  ``opt{step:06d}.ckpt`` triplets (reference ``train_util.py:272-295``),
+  resume step parsed from the filename (:298-311).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import pickle
+import re
+from typing import Any
+
+import jax
+import numpy as np
+
+
+def _to_host(tree: Any) -> Any:
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def save_pytree(path: str, tree: Any) -> None:
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(_to_host(tree), f, protocol=pickle.HIGHEST_PROTOCOL)
+    os.replace(tmp, path)
+
+
+def load_pytree(path: str) -> Any:
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def latest_checkpoint(save_path: str, pattern: str = "checkpoint_*.ckpt") -> tuple[str, int] | None:
+    """Find the newest ``checkpoint_{id}`` file (reference ``load(-1)``
+    discovery, ``scripts/train.py:483-496``).  Returns (path, id) or None."""
+    paths = glob.glob(os.path.join(save_path, pattern))
+    best = None
+    for p in paths:
+        m = re.search(r"_(\d+)\.\w+$", p)
+        if m:
+            i = int(m.group(1))
+            if best is None or i > best[1]:
+                best = (p, i)
+    return best
+
+
+def parse_resume_step(filename: str) -> int:
+    """``model123456.ckpt -> 123456`` (reference ``train_util.py:298-311``)."""
+    m = re.search(r"model(\d+)\.\w+$", os.path.basename(filename))
+    return int(m.group(1)) if m else 0
+
+
+def find_ema_checkpoint(main_path: str | None, step: int, rate: str) -> str | None:
+    if main_path is None:
+        return None
+    path = os.path.join(os.path.dirname(main_path), f"ema_{rate}_{step:06d}.ckpt")
+    return path if os.path.exists(path) else None

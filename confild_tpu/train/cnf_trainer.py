@@ -1,0 +1,366 @@
+"""Auto-decoding CNF trainer (reference ``ConditionalNeuralField/scripts/
+train.py`` trainer + ``_single_trainer`` hot loop, re-designed TPU-first).
+
+Training dynamics reproduced exactly (they are load-bearing, see SURVEY §3.1):
+
+* two optimizers — the latent table steps Adam **per batch**, the decoder
+  accumulates gradients across the epoch and steps Adam **once per epoch**
+  (reference ``scripts/train.py:399-416``);
+* latents are a dense trainable ``(N_samples, F)`` table (zero-init,
+  ``LatentContainer``, :43-63) with dense Adam updates (DDP makes the torch
+  grads dense too, so momentum decays un-sampled rows identically);
+* MSE on normalized fields, rMAE eval on denormalized fields every
+  ``save_every`` epochs (:429-459).
+
+TPU-native execution: the whole epoch is ONE jitted ``lax.scan`` over
+pre-shuffled batch indices (no per-batch Python dispatch), the batch axis is
+sharded over the data mesh (replacing DDP), gradients arrive via XLA ``psum``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from einops import rearrange
+
+from confild_tpu import config as cfgmod
+from confild_tpu.core import normalize as cnorm
+from confild_tpu.io import checkpoint as ckpt_io
+from confild_tpu.models import cnf as cnf_models
+from confild_tpu.parallel import mesh as pmesh
+from confild_tpu.utils import logger as tlog
+from confild_tpu.utils import readdata
+
+
+def rMAE(prediction, target, dims):
+    """Relative MAE per (sample, channel) (reference ``scripts/train.py:66``)."""
+    dims = tuple(dims)
+    return (jnp.abs(prediction - target).mean(axis=dims)
+            / jnp.abs(target).mean(axis=dims))
+
+
+TEST_CRITERIA = {"rMAE": rMAE}
+LOSS_FNS = {"MSELoss": lambda pred, target: jnp.mean((pred - target) ** 2)}
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["nf_params", "latents", "opt_nf_state", "opt_lat_state",
+                      "nf_grad_accum", "epoch"],
+         meta_fields=[])
+@dataclasses.dataclass
+class CNFTrainState:
+    nf_params: Any
+    latents: jnp.ndarray            # (N_samples, F)
+    opt_nf_state: Any
+    opt_lat_state: Any
+    nf_grad_accum: Any              # decoder grads accumulated over the epoch
+    epoch: int
+
+
+class CNFTrainer:
+    """Recipe-driven auto-decoding trainer.
+
+    Mirrors the reference trainer API: ``train()``, ``load(ckpt_id,
+    siren_only)``, ``infer(coords, latents)``, plus functional accessors for
+    the diffusion stage.
+    """
+
+    def __init__(self, hp: cfgmod.Config, infer_mode: bool = False,
+                 infer_dps: bool = False, mesh=None):
+        self.hp = hp
+        self.infer_mode = infer_mode
+        self.mesh = mesh
+        self.save_path = hp.save_path
+
+        if not infer_mode:
+            fois = self._load_fois(hp)
+            fois = rearrange(
+                fois, f"{hp.readin_data_shape} -> {hp.batch_shape}")
+            nf_spec = hp.NF
+            out_features = (nf_spec.get("kwargs", {}).get("out_features")
+                            or nf_spec["out_features"])
+            assert out_features == fois.shape[-1], \
+                "NF out_features inconsistent with data shape"
+
+            self.spatio_shape = fois.shape[1:-1]
+            self.spatio_axis = list(range(1, fois.ndim - 1))
+            coords = self._load_coords(hp)
+            self.train_coord = np.asarray(coords, np.float32)
+            self.N_samples = fois.shape[0]
+            fois = np.asarray(fois, np.float32)
+
+        # normalizers (fit-or-load, reference :169-217)
+        self.in_normalizer = cnorm.Normalizer(**hp.normalizer)
+        self.out_normalizer = cnorm.Normalizer(**hp.normalizer)
+        norm_file = os.path.join(hp.save_path, "normalizer_params.ckpt")
+        norm_file_pt = os.path.join(hp.save_path, "normalizer_params.pt")
+        if os.path.exists(norm_file):
+            params = ckpt_io.load_pytree(norm_file)
+            self.in_normalizer.params = tuple(params["x_normalizer_params"])
+            self.out_normalizer.params = tuple(params["y_normalizer_params"])
+        elif os.path.exists(norm_file_pt):
+            from confild_tpu.io.torch_port import load_normalizer_params
+            p = load_normalizer_params(norm_file_pt)
+            self.in_normalizer.params = p["x"]
+            self.out_normalizer.params = p["y"]
+        elif not infer_mode:
+            lumped = hp.lumped_latent
+            dims = hp.dims
+            coord_fit = (coords if lumped
+                         else coords.reshape(-1, coords.shape[-1]))
+            fois_fit = (fois if lumped
+                        else fois.reshape(-1, *fois.shape[dims + 1:]))
+            self.in_normalizer.fit_normalize(coord_fit)
+            self.out_normalizer.fit_normalize(fois_fit)
+            os.makedirs(hp.save_path, exist_ok=True)
+            ckpt_io.save_pytree(norm_file, {
+                "x_normalizer_params": self.in_normalizer.get_params(),
+                "y_normalizer_params": self.out_normalizer.get_params(),
+            })
+        else:
+            raise FileNotFoundError(f"no normalizer params in {hp.save_path}")
+
+        # NF model
+        self.model = cnf_models.siren_film_from_recipe(hp)
+
+        if not infer_mode:
+            self.normed_coords = np.asarray(
+                self.in_normalizer.normalize(self.train_coord), np.float32)
+            self.normed_fois = np.asarray(
+                self.out_normalizer.normalize(fois), np.float32)
+            self.test_criteria = partial(
+                TEST_CRITERIA[hp.test_criteria], dims=self.spatio_axis)
+
+        self.state: CNFTrainState | None = None
+        self._latent_expand = None  # set lazily from dims/lumped
+
+    # -- data ---------------------------------------------------------------
+
+    @staticmethod
+    def _load_fois(hp):
+        if "load_data_fn" in hp:
+            spec = hp.load_data_fn
+            if isinstance(spec, str):
+                return readdata.get_loader(spec)(hp.data_path)
+            return readdata.get_loader(spec["name"])(
+                hp.data_path, **spec.get("kwargs", {}))
+        return np.load(hp.data_path)
+
+    def _load_coords(self, hp):
+        if "coor_path" in hp and hp.coor_path:
+            coord = np.load(hp.coor_path)
+            assert coord.shape[:-1] == self.spatio_shape
+            assert coord.shape[-1] == hp.dims
+            return coord
+        axes = [np.linspace(0, 1, s, dtype=np.float32)
+                for s in self.spatio_shape]
+        return np.stack(np.meshgrid(*axes, indexing="ij"), axis=-1)
+
+    # -- latent broadcasting (LatentContainer.expand_dims semantics) ---------
+
+    def expand_latents(self, rows: jnp.ndarray) -> jnp.ndarray:
+        """(B, F) -> (B, 1...1, F) with ``dims`` ones (or a single 1 when
+        lumped) so they broadcast against coords (reference :43-63)."""
+        n_ones = 1 if self.hp.lumped_latent else self.hp.dims
+        return rows.reshape(rows.shape[0], *(1,) * n_ones, rows.shape[-1])
+
+    # -- state --------------------------------------------------------------
+
+    def _optimizers(self):
+        opt_nf = optax.adam(self.hp.lr["nf"])
+        opt_lat = optax.adam(self.hp.lr["latents"])
+        return opt_nf, opt_lat
+
+    def init_state(self, key=None) -> CNFTrainState:
+        key = key if key is not None else jax.random.key(0)
+        nf_params = self.model.init_params(key)
+        latents = jnp.zeros((self.N_samples, self.hp.hidden_size), jnp.float32)
+        opt_nf, opt_lat = self._optimizers()
+        return CNFTrainState(
+            nf_params=nf_params,
+            latents=latents,
+            opt_nf_state=opt_nf.init(nf_params),
+            opt_lat_state=opt_lat.init(latents),
+            nf_grad_accum=jax.tree.map(jnp.zeros_like, nf_params),
+            epoch=0,
+        )
+
+    # -- train --------------------------------------------------------------
+
+    def train(self, fix_nf: bool = False, log_formats=("stdout",)):
+        hp = self.hp
+        if self.state is None:
+            self.state = self.init_state()
+        state = self.state
+        logger = tlog.configure(hp.save_path, list(log_formats) + ["csv"])
+
+        loss_fn = LOSS_FNS[hp.loss_fn]
+        opt_nf, opt_lat = self._optimizers()
+        coords = jnp.asarray(self.normed_coords)
+        fois = jnp.asarray(self.normed_fois)
+        batch_size = hp.batch_size
+        n = self.N_samples
+        n_batches = max(n // batch_size, 1)
+
+        if self.mesh is not None:
+            fois = pmesh.replicate(fois, self.mesh)
+            coords = pmesh.replicate(coords, self.mesh)
+
+        def batch_loss(nf_params, latents, idx):
+            rows = self.expand_latents(latents[idx])
+            out = self.model(nf_params, coords, rows)
+            return loss_fn(out, fois[idx])
+
+        @partial(jax.jit, static_argnames=("fix_nf",))
+        def run_epoch(state: CNFTrainState, perm, fix_nf: bool):
+            """One epoch = scan over batches.  Decoder step happens OUTSIDE
+            (cadence: once per epoch, reference :399-401)."""
+
+            def one_batch(carry, idx):
+                latents, opt_lat_state, nf_accum = carry
+                loss, (g_lat, g_nf) = jax.value_and_grad(
+                    lambda lat, nf: batch_loss(nf, lat, idx),
+                    argnums=(0, 1))(latents, state.nf_params)
+                updates, opt_lat_state = opt_lat.update(g_lat, opt_lat_state,
+                                                        latents)
+                latents = optax.apply_updates(latents, updates)
+                nf_accum = jax.tree.map(jnp.add, nf_accum, g_nf)
+                return (latents, opt_lat_state, nf_accum), loss
+
+            init = (state.latents, state.opt_lat_state, state.nf_grad_accum)
+            (latents, opt_lat_state, nf_accum), losses = jax.lax.scan(
+                one_batch, init, perm)
+            return dataclasses.replace(
+                state, latents=latents, opt_lat_state=opt_lat_state,
+                nf_grad_accum=nf_accum), losses.mean()
+
+        @jax.jit
+        def apply_nf_step(state: CNFTrainState):
+            updates, opt_nf_state = opt_nf.update(
+                state.nf_grad_accum, state.opt_nf_state, state.nf_params)
+            nf_params = optax.apply_updates(state.nf_params, updates)
+            return dataclasses.replace(
+                state, nf_params=nf_params, opt_nf_state=opt_nf_state,
+                nf_grad_accum=jax.tree.map(jnp.zeros_like, state.nf_grad_accum))
+
+        @jax.jit
+        def eval_rmae(state: CNFTrainState):
+            rows = self.expand_latents(state.latents)
+            pred = self.model(state.nf_params, coords, rows)
+            pred = self.out_normalizer.denormalize(pred)
+            target = self.out_normalizer.denormalize(fois)
+            return self.test_criteria(pred, target).mean(axis=0)
+
+        rng = np.random.default_rng(0)
+        start = int(state.epoch)
+        for epoch in range(start, start + hp.epochs):
+            # decoder stepped with LAST epoch's accumulated grads (:399-401)
+            if epoch != 0 and not fix_nf:
+                state = apply_nf_step(state)
+            perm = rng.permutation(n)[: n_batches * batch_size]
+            perm = jnp.asarray(perm.reshape(n_batches, batch_size))
+            state, epoch_loss = run_epoch(state, perm, fix_nf)
+            state = dataclasses.replace(state, epoch=epoch)
+            logger.logkv("epoch", epoch)
+            logger.logkv("loss", float(epoch_loss))
+
+            if epoch % hp.save_every == 0 or epoch == start + hp.epochs - 1:
+                test_error = np.asarray(eval_rmae(state))
+                for k, v in enumerate(test_error):
+                    logger.logkv(f"test_error_{k}", float(v))
+                self.state = state
+                self.save(epoch)
+            logger.dumpkvs()
+
+        self.state = state
+        return state
+
+    # -- checkpointing (4-part dict semantics, reference :468-528) ----------
+
+    def save(self, epoch: int):
+        path = os.path.join(self.save_path, f"checkpoint_{epoch}.ckpt")
+        s = self.state
+        ckpt_io.save_pytree(path, {
+            "epoch": epoch,
+            "model_state_dict": s.nf_params,
+            "hidden_states": {"latents": s.latents},
+            "optim_net_dec_dict": s.opt_nf_state,
+            "optim_states_dict": s.opt_lat_state,
+        })
+
+    def load(self, checkpoint_id: int = -1, siren_only: bool = False):
+        """Resume: -1 picks the newest checkpoint; missing -> scratch
+        (reference :481-528).  Also reads reference ``.pt`` checkpoints."""
+        if checkpoint_id == -1:
+            found = ckpt_io.latest_checkpoint(self.save_path)
+            found_pt = ckpt_io.latest_checkpoint(self.save_path,
+                                                 "checkpoint_*.pt")
+            if found is None and found_pt is None:
+                print(f"*No checkpoint found in {self.save_path}*, "
+                      "starting from scratch")
+                return None
+            if found is None or (found_pt is not None
+                                 and found_pt[1] > found[1]):
+                return self._load_pt(found_pt[0], siren_only)
+            path = found[0]
+        else:
+            path = os.path.join(self.save_path,
+                                f"checkpoint_{checkpoint_id}.ckpt")
+            if not os.path.exists(path):
+                pt = os.path.join(self.save_path,
+                                  f"checkpoint_{checkpoint_id}.pt")
+                if os.path.exists(pt):
+                    return self._load_pt(pt, siren_only)
+
+        ck = ckpt_io.load_pytree(path)
+        nf_params = jax.tree.map(jnp.asarray, ck["model_state_dict"])
+        latents = jnp.asarray(ck["hidden_states"]["latents"])
+        opt_nf, opt_lat = self._optimizers()
+        self.N_samples = latents.shape[0]
+        self.state = CNFTrainState(
+            nf_params=nf_params,
+            latents=latents if not siren_only else latents,
+            opt_nf_state=ck.get("optim_net_dec_dict") or opt_nf.init(nf_params),
+            opt_lat_state=ck.get("optim_states_dict") or opt_lat.init(latents),
+            nf_grad_accum=jax.tree.map(jnp.zeros_like, nf_params),
+            epoch=int(ck["epoch"]),
+        )
+        return self.state
+
+    def _load_pt(self, path: str, siren_only: bool):
+        from confild_tpu.io.torch_port import load_cnf_checkpoint
+        ck = load_cnf_checkpoint(path)
+        nf_params = jax.tree.map(jnp.asarray, ck["params"])
+        latents = (jnp.asarray(ck["latents"]) if "latents" in ck
+                   else jnp.zeros((self.N_samples, self.hp.hidden_size)))
+        opt_nf, opt_lat = self._optimizers()
+        self.N_samples = latents.shape[0]
+        self.state = CNFTrainState(
+            nf_params=nf_params, latents=latents,
+            opt_nf_state=opt_nf.init(nf_params),
+            opt_lat_state=opt_lat.init(latents),
+            nf_grad_accum=jax.tree.map(jnp.zeros_like, nf_params),
+            epoch=int(ck.get("epoch") or 0),
+        )
+        return self.state
+
+    # -- inference (reference :265-279) --------------------------------------
+
+    def infer(self, coord, latents) -> jnp.ndarray:
+        """Decode latent rows at (physical) coords, denormalized output."""
+        coord = jnp.asarray(coord if coord is not None else self.train_coord)
+        coord = self.in_normalizer.as_jax().normalize(coord)
+        latents = jnp.asarray(latents)
+        if coord.ndim > 2:
+            rows = latents[:, None, None]
+        else:
+            rows = latents[:, None]
+        out = self.model(self.state.nf_params, coord, rows)
+        return self.out_normalizer.as_jax().denormalize(out)

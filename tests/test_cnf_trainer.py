@@ -1,0 +1,129 @@
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import yaml
+
+from confild_tpu import config as cfg
+from confild_tpu.train.cnf_trainer import CNFTrainer, rMAE
+
+
+def make_case(tmp_path, lumped=True, epochs=12):
+    """Tiny synthetic elbow-like case: 16 snapshots x 120 points x 2 channels."""
+    rng = np.random.default_rng(0)
+    t, n, c = 16, 120, 2
+    coords = rng.uniform(size=(n, 2)).astype(np.float32)
+    phase = rng.uniform(0, 2 * np.pi, size=(t, 1, 1))
+    fois = np.sin(2 * np.pi * coords[None, :, :1] + phase) * np.array([1.0, 0.5])
+    fois = fois.astype(np.float32)
+    np.save(tmp_path / "fois.npy", fois)
+    np.save(tmp_path / "coords.npy", coords)
+
+    recipe = {
+        "data_path": str(tmp_path / "fois.npy"),
+        "coor_path": str(tmp_path / "coords.npy"),
+        "save_path": str(tmp_path / "run"),
+        "lumped_latent": lumped,
+        "normalizer": {"method": "-11", "dim": 0},
+        "batch_size": 8,
+        "test_batch_size": 8,
+        "multiGPU": 1,
+        "readin_data_shape": "t N c",
+        "batch_shape": "t N c",
+        "hidden_size": 16,
+        "epochs": epochs,
+        "loss_fn": "MSELoss",
+        "test_criteria": "rMAE",
+        "save_every": 5,
+        "dims": 2,
+        "NF": {"name": "SIRENAutodecoder_film", "num_hidden_layers": 2,
+               "out_features": 2, "hidden_features": 32},
+        "lr": {"nf": 1.0e-4, "latents": 1.0e-3},
+    }
+    path = tmp_path / "case.yml"
+    path.write_text(yaml.safe_dump(recipe))
+    return cfg.basic_input(str(path))
+
+
+class TestCNFTrainer:
+    def test_training_reduces_loss(self, tmp_path):
+        hp = make_case(tmp_path, epochs=40)
+        hp.lr = {"nf": 1e-3, "latents": 3e-2}
+        tr = CNFTrainer(hp)
+        tr.load(-1)  # no checkpoint -> scratch
+        tr.train(log_formats=())
+        # read the CSV log to compare first/last loss
+        import csv
+        with open(os.path.join(hp.save_path, "progress.csv")) as f:
+            rows = list(csv.DictReader(f))
+        losses = [float(r["loss"]) for r in rows if r.get("loss")]
+        assert losses[-1] < losses[0] * 0.1, losses
+
+    def test_checkpoint_roundtrip_and_infer(self, tmp_path):
+        hp = make_case(tmp_path, epochs=6)
+        tr = CNFTrainer(hp)
+        tr.train(log_formats=())
+        epoch0 = int(tr.state.epoch)
+
+        tr2 = CNFTrainer(hp)
+        st = tr2.load(-1)
+        assert st is not None and int(st.epoch) == epoch0
+        np.testing.assert_allclose(np.asarray(st.latents),
+                                   np.asarray(tr.state.latents))
+
+        out = tr2.infer(tr2.train_coord, tr2.state.latents[:4])
+        assert out.shape == (4, 120, 2)
+        assert np.all(np.isfinite(np.asarray(out)))
+
+    def test_resume_continues_epoch(self, tmp_path):
+        hp = make_case(tmp_path, epochs=6)
+        tr = CNFTrainer(hp)
+        tr.train(log_formats=())
+        tr2 = CNFTrainer(hp)
+        tr2.load(-1)
+        tr2.train(log_formats=())
+        assert int(tr2.state.epoch) > int(tr.state.epoch)
+
+    def test_normalizer_persisted(self, tmp_path):
+        hp = make_case(tmp_path, epochs=6)
+        tr = CNFTrainer(hp)
+        assert os.path.exists(os.path.join(hp.save_path,
+                                           "normalizer_params.ckpt"))
+        # a fresh infer-mode trainer loads them
+        tr_inf = CNFTrainer(hp, infer_mode=True)
+        a = tr_inf.in_normalizer.get_params()
+        b = tr.in_normalizer.get_params()
+        np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]))
+
+    def test_rmae_definition(self):
+        pred = jnp.ones((2, 10, 3)) * 2.0
+        target = jnp.ones((2, 10, 3))
+        err = rMAE(pred, target, dims=(1,))
+        np.testing.assert_allclose(np.asarray(err), 1.0)
+
+    def test_non_lumped_grid_case(self, tmp_path):
+        """Grid-shaped case2-style data: (t, h, w, c) with per-cell coords."""
+        rng = np.random.default_rng(1)
+        t, h, w, c = 8, 8, 12, 2
+        fois = rng.normal(size=(t, h, w, c)).astype(np.float32)
+        np.save(tmp_path / "fois.npy", fois)
+        recipe = {
+            "data_path": str(tmp_path / "fois.npy"),
+            "save_path": str(tmp_path / "run"),
+            "lumped_latent": False,
+            "normalizer": {"method": "-11", "dim": 0},
+            "batch_size": 4, "test_batch_size": 4, "multiGPU": 1,
+            "readin_data_shape": "t h w c", "batch_shape": "t h w c",
+            "hidden_size": 8, "epochs": 4, "loss_fn": "MSELoss",
+            "test_criteria": "rMAE", "save_every": 2, "dims": 2,
+            "NF": {"name": "SIRENAutodecoder_film", "num_hidden_layers": 1,
+                   "out_features": 2, "hidden_features": 16},
+            "lr": {"nf": 1.0e-4, "latents": 1.0e-3},
+        }
+        p = tmp_path / "case.yml"
+        p.write_text(yaml.safe_dump(recipe))
+        tr = CNFTrainer(cfg.basic_input(str(p)))
+        tr.train(log_formats=())
+        out = tr.infer(tr.train_coord, tr.state.latents[:2])
+        assert out.shape == (2, h, w, c)
