@@ -1,1 +1,1 @@
-from confild_tpu.train import cnf_trainer  # noqa: F401
+from confild_tpu.train import cnf_trainer, diffusion_trainer  # noqa: F401
