@@ -38,6 +38,11 @@ def register_operator(name: str):
 def get_operator(name: str, **kwargs):
     if name not in __OPERATOR__:
         raise NameError(f"Name {name} is not defined.")
+    # notebook-style *_path kwargs load from disk (reference notebook cell 13)
+    for key in ("coords", "max_val", "min_val"):
+        pkey = f"{key}_path"
+        if pkey in kwargs:
+            kwargs[key] = np.load(kwargs.pop(pkey))
     return __OPERATOR__[name](**kwargs)
 
 
