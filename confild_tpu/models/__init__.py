@@ -1,1 +1,1 @@
-from confild_tpu.models import cnf  # noqa: F401
+from confild_tpu.models import cnf, cnf_zoo, nn, unet  # noqa: F401
