@@ -1,0 +1,114 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from confild_tpu.models import unet as junet
+from confild_tpu.models.unet_extras import (EncoderUNetModel, SuperResModel,
+                                            create_classifier)
+from confild_tpu.utils.img_utils import (bicubic_resize, dynamic_thresholding,
+                                         mask_generator)
+from confild_tpu.train.schedulers import cyclic_cosine_decay
+
+
+class TestSuperRes:
+    def test_forward(self):
+        cfg = junet.UNetConfig(
+            image_size=32, in_channels=1, model_channels=32, out_channels=1,
+            num_res_blocks=1, attention_resolutions=(2,), channel_mult=(1, 2),
+            num_heads=2)
+        m = SuperResModel(cfg)
+        params = m.init(jax.random.key(0))
+        x = jnp.zeros((2, 1, 32, 32))
+        low = jax.random.normal(jax.random.key(1), (2, 1, 16, 16))
+        out = m.apply(params, x, jnp.array([0, 5]), low_res=low)
+        assert out.shape == (2, 1, 32, 32)
+
+
+class TestEncoder:
+    @pytest.mark.parametrize("pool", ["adaptive", "spatial", "spatial_v2"])
+    def test_pools(self, pool):
+        cfg = junet.UNetConfig(
+            image_size=32, in_channels=1, model_channels=32, out_channels=5,
+            num_res_blocks=1, attention_resolutions=(2,), channel_mult=(1, 2),
+            num_heads=2)
+        m = EncoderUNetModel(cfg, pool=pool, encoder_out_channels=5)
+        params = m.init(jax.random.key(0))
+        out = m.apply(params, jax.random.normal(jax.random.key(1),
+                                                (2, 1, 32, 32)),
+                      jnp.array([0, 3]))
+        assert out.shape == (2, 5)
+        assert jnp.all(jnp.isfinite(out))
+
+    def test_classifier_factory(self):
+        m = create_classifier(image_size=32, classifier_width=32,
+                              classifier_depth=1,
+                              classifier_attention_resolutions="16",
+                              out_channels=3)
+        params = m.init(jax.random.key(0))
+        out = m.apply(params, jnp.zeros((1, 1, 32, 32)), jnp.array([0]))
+        assert out.shape == (1, 3)
+
+
+class TestImgUtils:
+    def test_box_mask(self):
+        gen = mask_generator("box", mask_len_range=(4, 8), image_size=32,
+                             margin=(2, 2), seed=0)
+        mask = gen((1, 1, 32, 32))
+        assert mask.shape == (1, 1, 32, 32)
+        n_zero = int((mask == 0).sum())
+        assert 16 <= n_zero <= 64  # between 4x4 and 8x8
+
+    def test_random_mask_prob(self):
+        gen = mask_generator("random", mask_prob_range=(0.3, 0.3),
+                             image_size=32, seed=0)
+        mask = gen((1, 1, 32, 32))
+        frac = float((mask == 0).mean())
+        assert abs(frac - 0.3) < 0.02
+
+    def test_extreme_inverts(self):
+        gen = mask_generator("extreme", mask_len_range=(4, 8), image_size=32,
+                             margin=(2, 2), seed=0)
+        mask = gen((1, 1, 32, 32))
+        assert float(mask.mean()) < 0.5  # mostly zeros
+
+    def test_std_box(self):
+        gen = mask_generator("std_box", image_size=8, std_box_hstart=2,
+                             std_box_wstart=3, h=2, w=2)
+        mask = gen((1, 1, 8, 8))
+        assert float(mask[0, 0, 2, 3]) == 0 and float(mask[0, 0, 0, 0]) == 1
+
+    def test_dynamic_thresholding_bounds(self):
+        x = 10 * jax.random.normal(jax.random.key(0), (4, 4))
+        out = dynamic_thresholding(x)
+        assert jnp.all(jnp.abs(out) <= 1.0)
+
+    def test_bicubic_resize(self):
+        x = jax.random.normal(jax.random.key(0), (1, 2, 16, 16))
+        out = bicubic_resize(x, 0.5)
+        assert out.shape == (1, 2, 8, 8)
+
+
+class TestScheduler:
+    def test_init_decay(self):
+        s = cyclic_cosine_decay(1.0, 100, 0.1)
+        assert np.isclose(float(s(0)), 1.0)
+        assert np.isclose(float(s(100)), 0.1, atol=1e-3)
+        assert float(s(50)) < 1.0
+        # no restarts -> constant tail
+        assert np.isclose(float(s(500)), 0.1)
+
+    def test_fixed_restarts(self):
+        s = cyclic_cosine_decay(1.0, 10, 0.1, restart_interval=20,
+                                restart_lr=0.5)
+        assert np.isclose(float(s(10)), 0.5)    # restart begins at restart_lr
+        assert np.isclose(float(s(30)), 0.5)    # next cycle
+        assert float(s(20)) < 0.5               # mid-cycle decays
+
+    def test_geometric_restarts(self):
+        s = cyclic_cosine_decay(1.0, 10, 0.1, restart_interval=10,
+                                restart_interval_multiplier=2.0,
+                                restart_lr=0.8)
+        vals = [float(s(i)) for i in range(10, 80)]
+        assert max(vals) <= 0.8 + 1e-6
+        assert min(vals) >= 0.1 - 1e-6

@@ -1,0 +1,135 @@
+"""Data-parallel execution on the virtual 8-device CPU mesh — the framework's
+replacement for the reference's DDP/NCCL layer (SURVEY §2.5)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from confild_tpu.parallel import mesh as pmesh
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    return pmesh.get_mesh(8)
+
+
+class TestMeshHelpers:
+    def test_shard_batch_layout(self, mesh):
+        x = jnp.arange(16 * 4, dtype=jnp.float32).reshape(16, 4)
+        xs = pmesh.shard_batch(x, mesh)
+        assert xs.sharding.spec == jax.sharding.PartitionSpec("data", None)
+        np.testing.assert_array_equal(np.asarray(xs), np.asarray(x))
+
+    def test_replicate(self, mesh):
+        tree = {"a": jnp.ones((3, 3)), "b": jnp.zeros((5,))}
+        rep = pmesh.replicate(tree, mesh)
+        assert rep["a"].sharding.spec == jax.sharding.PartitionSpec()
+
+
+class TestDataParallelDiffusion:
+    def test_sharded_step_matches_single_device(self, mesh, tmp_path):
+        """The jitted train step must produce identical parameters whether the
+        batch is sharded over 8 devices or lives on one — XLA's psum replaces
+        DDP allreduce with no semantic drift."""
+        from confild_tpu.diffusion import create_gaussian_diffusion
+        from confild_tpu.models import unet as junet
+        from confild_tpu.train.diffusion_trainer import TrainLoop
+        from confild_tpu.utils import logger as tlog
+
+        tlog.configure(str(tmp_path), [])
+        model = junet.create_model(
+            image_size=16, num_channels=32, num_res_blocks=1,
+            channel_mult="1,2", attention_resolutions="8", num_heads=2)
+        diffusion = create_gaussian_diffusion(steps=10, noise_schedule="cosine")
+        batch = jax.random.normal(jax.random.key(0), (8, 1, 16, 16))
+
+        def make_loop(m):
+            rngdata = iter(lambda: (np.zeros((8, 1, 16, 16), np.float32), {}),
+                           None)
+            return TrainLoop(model=model, diffusion=diffusion, data=rngdata,
+                             batch_size=8, lr=1e-3,
+                             save_dir=str(tmp_path / "x"), mesh=m)
+
+        loop_single = make_loop(None)
+        loop_mesh = make_loop(mesh)
+
+        key = jax.random.key(3)
+        s1, m1 = loop_single._train_step(loop_single.state, batch, key)
+        s2, m2 = loop_mesh._train_step(
+            loop_mesh.state, pmesh.shard_batch(batch, mesh), key)
+
+        np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                                   rtol=1e-5)
+        for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+
+
+class TestDataParallelSampling:
+    def test_ensemble_sampling_sharded(self, mesh):
+        """Ensemble conditional sampling sharded over the data axis
+        (BASELINE.json config 5: batch-parallel conditional sampling)."""
+        from confild_tpu.guidance import (create_sampler,
+                                          get_conditioning_method, get_noise,
+                                          get_operator)
+
+        sampler = create_sampler("ddpm", steps=5, noise_schedule="cosine")
+
+        def model_fn(x, t, **kw):
+            tt = t.astype(jnp.float32).reshape((-1,) + (1,) * (x.ndim - 1))
+            return 0.1 * x + 0.01 * jnp.sin(tt)
+
+        op = get_operator("inpainting", mask=jnp.ones((1, 1, 8, 8)))
+        method = get_conditioning_method("ps", op, get_noise("clean"),
+                                         scale=0.1)
+        y = jnp.zeros((1, 1, 8, 8))
+
+        def run_one(x0, k):
+            return sampler.p_sample_loop(model_fn, x0, y, method, k)
+
+        n = 8
+        x_starts = jax.random.normal(jax.random.key(0), (n, 1, 1, 8, 8))
+        keys = jax.random.split(jax.random.key(1), n)
+
+        out_single = jax.jit(jax.vmap(run_one))(x_starts, keys)
+        out_sharded = jax.jit(jax.vmap(run_one))(
+            pmesh.shard_batch(x_starts, mesh), pmesh.shard_batch(keys, mesh))
+        np.testing.assert_allclose(np.asarray(out_single),
+                                   np.asarray(out_sharded), rtol=2e-5,
+                                   atol=1e-5)
+
+
+class TestDataParallelCNF:
+    def test_cnf_epoch_with_replicated_state(self, mesh, tmp_path):
+        """CNF training with data replicated on the mesh produces finite,
+        decreasing loss (full sharded-epoch equivalence is covered by the
+        trainer tests; here we check the mesh path executes)."""
+        import yaml
+        from confild_tpu import config as cfg
+        from confild_tpu.train.cnf_trainer import CNFTrainer
+
+        rng = np.random.default_rng(0)
+        fois = rng.normal(size=(16, 64, 2)).astype(np.float32)
+        coords = rng.uniform(size=(64, 2)).astype(np.float32)
+        np.save(tmp_path / "fois.npy", fois)
+        np.save(tmp_path / "coords.npy", coords)
+        recipe = {
+            "data_path": str(tmp_path / "fois.npy"),
+            "coor_path": str(tmp_path / "coords.npy"),
+            "save_path": str(tmp_path / "run"),
+            "lumped_latent": True,
+            "normalizer": {"method": "-11", "dim": 0},
+            "batch_size": 8, "test_batch_size": 8, "multiGPU": 8,
+            "readin_data_shape": "t N c", "batch_shape": "t N c",
+            "hidden_size": 8, "epochs": 4, "loss_fn": "MSELoss",
+            "test_criteria": "rMAE", "save_every": 2, "dims": 2,
+            "NF": {"name": "SIRENAutodecoder_film", "num_hidden_layers": 1,
+                   "out_features": 2, "hidden_features": 16},
+            "lr": {"nf": 1e-3, "latents": 1e-2},
+        }
+        (tmp_path / "case.yml").write_text(yaml.safe_dump(recipe))
+        tr = CNFTrainer(cfg.basic_input(str(tmp_path / "case.yml")), mesh=mesh)
+        state = tr.train(log_formats=())
+        assert np.all(np.isfinite(np.asarray(state.latents)))
