@@ -34,14 +34,18 @@ def main(argv=None):
     model, diffusion = build_model_and_diffusion(hp)
     params = load_unet_params(hp.ema_path, model)
 
-    def model_fn(x, t, **kw):
-        return model.apply(params, x, t)
-
     b = hp.test_batch_size
     shape = (b, 1, hp.time_length, hp.latent_length)
-    sample = jax.jit(
-        lambda key: diffusion.p_sample_loop(model_fn, shape, key))
-    gen = sample(jax.random.key(hp.get("seed", 0)))[:, 0]  # (B, T, L)
+
+    # params enter as a jit ARGUMENT (closing over concrete arrays would
+    # inline every weight into the HLO as constants)
+    @jax.jit
+    def sample(params, key):
+        def model_fn(x, t, **kw):
+            return model.apply(params, x, t)
+        return diffusion.p_sample_loop(model_fn, shape, key)
+
+    gen = sample(params, jax.random.key(hp.get("seed", 0)))[:, 0]  # (B, T, L)
 
     max_val = np.load(hp.max_val)
     min_val = np.load(hp.min_val)

@@ -43,9 +43,6 @@ def main(argv=None):
     model, _ = build_model_and_diffusion(hp)
     params = load_unet_params(hp.ema_path, model)
 
-    def model_fn(x, t, **kw):
-        return model.apply(params, x, t)
-
     measurement = jnp.asarray(np.load(hp.sensor_measures), jnp.float32)
     mask = jnp.ones_like(measurement)
 
@@ -80,7 +77,9 @@ def main(argv=None):
     key = jax.random.key(hp.get("seed", 0))
     x_starts = jax.random.normal(key, (n, *shape), jnp.float32)
 
-    def run_one(x_start, k):
+    def run_one(params, x_start, k):
+        def model_fn(x, t, **kw):
+            return model.apply(params, x, t)
         return sampler.p_sample_loop(model_fn, x_start, mask * measurement,
                                      cond_method, k)
 
@@ -90,7 +89,9 @@ def main(argv=None):
         mesh = pmesh.get_mesh(n_dev)
         x_starts = pmesh.shard_batch(x_starts, mesh)
         keys = pmesh.shard_batch(keys, mesh)
-    samples = jax.jit(jax.vmap(run_one))(x_starts, keys)  # (n, 1, 1, T, L)
+    # params as jit args (no constant-inlined weights), ensemble vmapped
+    samples = jax.jit(jax.vmap(run_one, in_axes=(None, 0, 0)))(
+        params, x_starts, keys)  # (n, 1, 1, T, L)
     samples = samples.reshape(n, hp.time_length, hp.latent_size)
 
     # decode full-resolution fields at the full mesh coords

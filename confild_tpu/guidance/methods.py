@@ -42,36 +42,57 @@ class ConditioningMethod:
     operator: Any
     noiser: Any = None
 
+    # Does the sampler need grad(misfit) wrt x_prev?  False skips the whole
+    # backward trace (vanilla/projection).
+    needs_grad: bool = dataclasses.field(default=True, init=False)
+
     def project(self, data, noisy_measurement, **kwargs):
         return self.operator.project(data=data, measurement=noisy_measurement,
                                      **kwargs)
 
-    def grad_and_value(self, x_prev, x0_from_prev, measurement, **kwargs):
-        """norm = ||y - A(x0_hat(x_prev))||_2 and its gradient wrt x_prev
-        (reference ``condition_methods.py:28-44``).  Gaussian-noise norm by
-        default; Poisson normalizes by |y|."""
+    def misfit(self, x0_hat, measurement, key=None, **kwargs):
+        """Differentiable measurement misfit ``||y - A(x0_hat)||_2``
+        (reference ``condition_methods.py:28-44``); Poisson noise normalizes
+        by |y|.  The sampler differentiates this through ONE traced UNet
+        forward (value_and_grad with the sample as aux), where the reference
+        re-runs autograd over a second graph."""
+        difference = measurement - self.operator.forward(x0_hat, **kwargs)
+        nrm = jnp.linalg.norm(difference.reshape(-1))
+        if self.noiser is not None and getattr(self.noiser, "name", "") == "poisson":
+            nrm = jnp.mean(nrm / jnp.abs(measurement))
+        return nrm
 
+    def grad_and_value(self, x_prev, x0_from_prev, measurement, **kwargs):
+        """Standalone helper (kept for API parity): gradient of the misfit
+        wrt x_prev through an ``x0_from_prev`` closure."""
         def norm_fn(xp):
-            x0 = x0_from_prev(xp)
-            difference = measurement - self.operator.forward(x0, **kwargs)
-            nrm = jnp.linalg.norm(difference.reshape(-1))
-            if self.noiser is not None and getattr(self.noiser, "name", "") == "poisson":
-                nrm = jnp.mean(nrm / jnp.abs(measurement))
-            return nrm
+            return self.misfit(x0_from_prev(xp), measurement, **kwargs)
 
         norm, grad = jax.value_and_grad(norm_fn)(x_prev)
         return grad, norm
 
+    def apply_guidance(self, x_t, grad, norm, *, noisy_measurement=None,
+                       step_frac=1.0, **kwargs):
+        """Post-sample update given the misfit gradient; default: identity."""
+        return x_t, norm
+
 
 @register_conditioning_method("vanilla")
 class Identity(ConditioningMethod):
-    def conditioning(self, x_t, **kwargs):
+    def __post_init__(self):
+        self.needs_grad = False
+
+    def apply_guidance(self, x_t, grad, norm, **kwargs):
         return x_t, None
 
 
 @register_conditioning_method("projection")
 class Projection(ConditioningMethod):
-    def conditioning(self, x_t, noisy_measurement=None, **kwargs):
+    def __post_init__(self):
+        self.needs_grad = False
+
+    def apply_guidance(self, x_t, grad, norm, *, noisy_measurement=None,
+                       **kwargs):
         return self.project(x_t, noisy_measurement), None
 
 
@@ -80,13 +101,10 @@ class Projection(ConditioningMethod):
 class ManifoldConstraintGradient(ConditioningMethod):
     scale: float = 1.0
 
-    def conditioning(self, x_prev, x_t, x0_from_prev, measurement,
-                     noisy_measurement=None, **kwargs):
-        grad, norm = self.grad_and_value(x_prev, x0_from_prev, measurement,
-                                         **kwargs)
+    def apply_guidance(self, x_t, grad, norm, *, noisy_measurement=None,
+                       **kwargs):
         x_t = x_t - grad * self.scale
-        x_t = self.project(x_t, noisy_measurement)
-        return x_t, norm
+        return self.project(x_t, noisy_measurement), norm
 
 
 @register_conditioning_method("ps")
@@ -97,9 +115,7 @@ class PosteriorSampling(ConditioningMethod):
 
     scale: float = 1.0
 
-    def conditioning(self, x_prev, x_t, x0_from_prev, measurement, **kwargs):
-        grad, norm = self.grad_and_value(x_prev, x0_from_prev, measurement,
-                                         **kwargs)
+    def apply_guidance(self, x_t, grad, norm, **kwargs):
         return x_t - grad * self.scale, norm
 
 
@@ -114,10 +130,7 @@ class PosteriorSamplingLinearDecay(ConditioningMethod):
     start_scale: float = 20.0
     end_scale: float = 1.0
 
-    def conditioning(self, x_prev, x_t, x0_from_prev, measurement,
-                     step_frac=1.0, **kwargs):
-        grad, norm = self.grad_and_value(x_prev, x0_from_prev, measurement,
-                                         **kwargs)
+    def apply_guidance(self, x_t, grad, norm, *, step_frac=1.0, **kwargs):
         scale = (self.start_scale - self.end_scale) * step_frac + self.end_scale
         return x_t - grad * scale, norm
 
@@ -131,22 +144,17 @@ class PosteriorSamplingPlus(ConditioningMethod):
     num_sampling: int = 5
     scale: float = 1.0
 
-    def conditioning(self, x_prev, x_t, x0_from_prev, measurement, key=None,
-                     **kwargs):
+    def misfit(self, x0_hat, measurement, key=None, **kwargs):
         if key is None:
             key = jax.random.key(0)
+        total = 0.0
+        for i in range(self.num_sampling):
+            # reference uses uniform [0, 1) perturbations (torch.rand_like)
+            pert = 0.05 * jax.random.uniform(
+                jax.random.fold_in(key, i), x0_hat.shape, x0_hat.dtype)
+            diff = measurement - self.operator.forward(x0_hat + pert, **kwargs)
+            total = total + jnp.linalg.norm(diff.reshape(-1)) / self.num_sampling
+        return total
 
-        def norm_fn(xp):
-            x0 = x0_from_prev(xp)
-            total = 0.0
-            for i in range(self.num_sampling):
-                # reference uses uniform [0, 1) perturbations (torch.rand_like)
-                pert = 0.05 * jax.random.uniform(
-                    jax.random.fold_in(key, i), x0.shape, x0.dtype)
-                diff = measurement - self.operator.forward(x0 + pert, **kwargs)
-                total = total + jnp.linalg.norm(
-                    diff.reshape(-1)) / self.num_sampling
-            return total
-
-        norm, grad = jax.value_and_grad(norm_fn)(x_prev)
+    def apply_guidance(self, x_t, grad, norm, **kwargs):
         return x_t - grad * self.scale, norm

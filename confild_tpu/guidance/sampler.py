@@ -81,30 +81,37 @@ class GuidedSampler:
 
     def _one_step(self, model, img, t, key, measurement, cond_method,
                   noiser=None, step_frac=1.0, mask=None):
-        """One guided reverse step: sample + conditioning gradient."""
+        """One guided reverse step.
+
+        The misfit gradient is taken through the SAME traced UNet forward
+        that produces the sample (``value_and_grad`` with the p_sample output
+        as aux) — one fwd + one bwd per step, where the reference evaluates a
+        second autograd graph (``condition_methods.py:28-44``).
+        """
         d = self.diffusion
+        kwargs = {"mask": mask} if mask is not None else {}
 
-        def sample_fn(x_prev):
+        def value_fn(x_prev):
             out = self._inner_sample(model, x_prev, t, key)
-            return out["sample"], out["pred_xstart"]
+            norm = cond_method.misfit(out["pred_xstart"], measurement,
+                                      key=jax.random.fold_in(key, 2), **kwargs)
+            return norm, out
 
-        def x0_from_prev(x_prev):
-            return self._inner_sample(model, x_prev, t, key)["pred_xstart"]
-
-        x_t, pred_xstart = sample_fn(img)
+        if cond_method.needs_grad:
+            (norm, out), grad = jax.value_and_grad(
+                value_fn, has_aux=True)(img)
+        else:
+            norm, out = value_fn(img)
+            grad = None
 
         noisy_measurement = d.q_sample(
             measurement, t,
             jax.random.normal(jax.random.fold_in(key, 1),
                               measurement.shape, measurement.dtype))
 
-        kwargs = {}
-        if mask is not None:
-            kwargs["mask"] = mask
-        x_t, distance = cond_method.conditioning(
-            x_prev=img, x_t=x_t, x0_from_prev=x0_from_prev,
-            measurement=measurement, noisy_measurement=noisy_measurement,
-            step_frac=step_frac, **kwargs)
+        x_t, distance = cond_method.apply_guidance(
+            out["sample"], grad, norm,
+            noisy_measurement=noisy_measurement, step_frac=step_frac)
         return x_t, distance
 
     def p_sample_loop(self, model, x_start, measurement, cond_method,
