@@ -206,9 +206,16 @@ class TrainLoop:
 
             (loss, (terms, t_all)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params)
+            # non-finite-gradient guard: skip the update entirely, like the
+            # reference's fp16 overflow backoff (fp16_util.py:189-208) minus
+            # the loss scale (unnecessary in bf16/f32 on TPU)
+            grads_ok = jnp.isfinite(global_norm(grads))
             updates, opt_state = opt.update(grads, state.opt_state,
                                             state.params)
             params = optax.apply_updates(state.params, updates)
+            params, opt_state = jax.tree.map(
+                lambda new, old: jnp.where(grads_ok, new, old),
+                (params, opt_state), (state.params, state.opt_state))
             ema_params = [tnn.update_ema(e, params, r)
                           for e, r in zip(state.ema_params, ema_rates)]
             sampler_state = sampler.update(sampler_state, t_all,
@@ -220,6 +227,7 @@ class TrainLoop:
                 "loss": loss,
                 "grad_norm": global_norm(grads),
                 "param_norm": global_norm(params),
+                "skipped_nonfinite": 1.0 - grads_ok.astype(jnp.float32),
             }
             # per-quartile losses bucketed by t (reference :335-341)
             quartile = (4 * t_all / diffusion.num_timesteps).astype(jnp.int32)
