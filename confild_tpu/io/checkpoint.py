@@ -66,3 +66,32 @@ def find_ema_checkpoint(main_path: str | None, step: int, rate: str) -> str | No
         return None
     path = os.path.join(os.path.dirname(main_path), f"ema_{rate}_{step:06d}.ckpt")
     return path if os.path.exists(path) else None
+
+
+# ---------------------------------------------------------------------------
+# Orbax backend (sharded, multi-host-safe)
+# ---------------------------------------------------------------------------
+
+def save_sharded(path: str, tree: Any) -> None:
+    """Save a (possibly sharded) pytree with Orbax — each host writes only its
+    addressable shards, replacing the reference's rank-0 blobfile writes +
+    barrier (``train_util.py:272-295``)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, tree, force=True)
+
+
+def restore_sharded(path: str, template: Any | None = None) -> Any:
+    """Restore an Orbax checkpoint; pass ``template`` (a pytree of arrays or
+    ShapeDtypeStructs with shardings) to place shards directly on devices —
+    replacing the reference's rank-0 read + chunked MPI broadcast
+    (``dist_util.py:54-74``)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        if template is not None:
+            return ckptr.restore(path, template)
+        return ckptr.restore(path)

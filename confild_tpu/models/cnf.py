@@ -129,12 +129,15 @@ def siren_film_apply(params: Params, coords: jnp.ndarray, latents: jnp.ndarray,
 def siren_film_extra_in_apply(params: Params, coords, latents,
                               w0: float = DEFAULT_W0) -> jnp.ndarray:
     """``SIRENAutodecoder_film_extra_in`` (``nf_networks.py:503-508``): coords
-    is a pair ``(spatial_coords, extra_scalar)``; the scalar is prepended as a
-    constant channel."""
+    is a pair ``(spatial_coords, extra_scalar)``; the scalar (broadcastable,
+    e.g. per-sample ``(B, 1, 1)``) is prepended as a constant channel."""
     spatial, extra = coords
     extra_chan = jnp.ones_like(spatial[..., :1]) * extra
-    return siren_film_apply(params, jnp.concatenate([extra_chan, spatial], axis=-1),
-                            latents, w0=w0)
+    spatial_b = jnp.broadcast_to(
+        spatial, extra_chan.shape[:-1] + spatial.shape[-1:])
+    return siren_film_apply(
+        params, jnp.concatenate([extra_chan, spatial_b], axis=-1),
+        latents, w0=w0)
 
 
 # ---------------------------------------------------------------------------

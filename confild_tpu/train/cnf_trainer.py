@@ -79,6 +79,17 @@ class CNFTrainer:
         self.mesh = mesh
         self.save_path = hp.save_path
 
+        # extra scalar SIREN input (parametric CNF, reference :117-136)
+        self.extra_siren_in = None
+        if "extra_siren_in" in hp and hp.extra_siren_in is not None:
+            spec = hp.extra_siren_in
+            if isinstance(spec, int):
+                self.extra_siren_in = np.linspace(0, 1, spec, dtype=np.float32)
+            elif len(spec) == 3:
+                self.extra_siren_in = np.linspace(*spec, dtype=np.float32)
+            else:
+                self.extra_siren_in = np.asarray(spec, np.float32)
+
         if not infer_mode:
             fois = self._load_fois(hp)
             fois = rearrange(
@@ -89,8 +100,18 @@ class CNFTrainer:
             assert out_features == fois.shape[-1], \
                 "NF out_features inconsistent with data shape"
 
-            self.spatio_shape = fois.shape[1:-1]
-            self.spatio_axis = list(range(1, fois.ndim - 1))
+            if self.extra_siren_in is not None:
+                # data layout (t, n_extra, *spatial, c): flatten the first
+                # two axes into the sample axis (reference basic_set :34-38)
+                self.n_extra = fois.shape[1]
+                assert self.n_extra == len(self.extra_siren_in)
+                self.spatio_shape = fois.shape[2:-1]
+                self.spatio_axis = list(range(1, fois.ndim - 2))
+                fois = fois.reshape(fois.shape[0] * self.n_extra,
+                                    *fois.shape[2:])
+            else:
+                self.spatio_shape = fois.shape[1:-1]
+                self.spatio_axis = list(range(1, fois.ndim - 1))
             coords = self._load_coords(hp)
             self.train_coord = np.asarray(coords, np.float32)
             self.N_samples = fois.shape[0]
@@ -101,15 +122,23 @@ class CNFTrainer:
         self.out_normalizer = cnorm.Normalizer(**hp.normalizer)
         norm_file = os.path.join(hp.save_path, "normalizer_params.ckpt")
         norm_file_pt = os.path.join(hp.save_path, "normalizer_params.pt")
+        self.extra_in_normalizer = (cnorm.Normalizer(**hp.normalizer)
+                                    if self.extra_siren_in is not None
+                                    else None)
         if os.path.exists(norm_file):
             params = ckpt_io.load_pytree(norm_file)
             self.in_normalizer.params = tuple(params["x_normalizer_params"])
             self.out_normalizer.params = tuple(params["y_normalizer_params"])
+            if self.extra_in_normalizer is not None:
+                self.extra_in_normalizer.params = tuple(
+                    params["extra_normalizer_params"])
         elif os.path.exists(norm_file_pt):
             from confild_tpu.io.torch_port import load_normalizer_params
             p = load_normalizer_params(norm_file_pt)
             self.in_normalizer.params = p["x"]
             self.out_normalizer.params = p["y"]
+            if self.extra_in_normalizer is not None and "extra" in p:
+                self.extra_in_normalizer.params = p["extra"]
         elif not infer_mode:
             lumped = hp.lumped_latent
             dims = hp.dims
@@ -119,22 +148,43 @@ class CNFTrainer:
                         else fois.reshape(-1, *fois.shape[dims + 1:]))
             self.in_normalizer.fit_normalize(coord_fit)
             self.out_normalizer.fit_normalize(fois_fit)
-            os.makedirs(hp.save_path, exist_ok=True)
-            ckpt_io.save_pytree(norm_file, {
+            to_save = {
                 "x_normalizer_params": self.in_normalizer.get_params(),
                 "y_normalizer_params": self.out_normalizer.get_params(),
-            })
+            }
+            if self.extra_in_normalizer is not None:
+                self.extra_in_normalizer.fit_normalize(
+                    self.extra_siren_in.reshape(-1))
+                to_save["extra_normalizer_params"] = \
+                    self.extra_in_normalizer.get_params()
+            os.makedirs(hp.save_path, exist_ok=True)
+            ckpt_io.save_pytree(norm_file, to_save)
         else:
             raise FileNotFoundError(f"no normalizer params in {hp.save_path}")
 
-        # NF model
-        self.model = cnf_models.siren_film_from_recipe(hp)
+        # NF model (extra scalar input adds one coordinate channel,
+        # reference :229-240)
+        if self.extra_siren_in is not None:
+            nf_spec = hp.NF
+            self.model = cnf_models.create_nf(
+                nf_spec["name"],
+                in_coord_features=hp.dims + 1,
+                in_latent_features=hp.hidden_size,
+                out_features=nf_spec["out_features"],
+                num_hidden_layers=nf_spec["num_hidden_layers"],
+                hidden_features=nf_spec["hidden_features"])
+        else:
+            self.model = cnf_models.siren_film_from_recipe(hp)
 
         if not infer_mode:
             self.normed_coords = np.asarray(
                 self.in_normalizer.normalize(self.train_coord), np.float32)
             self.normed_fois = np.asarray(
                 self.out_normalizer.normalize(fois), np.float32)
+            if self.extra_in_normalizer is not None:
+                self.normed_extra = np.asarray(
+                    self.extra_in_normalizer.normalize(self.extra_siren_in),
+                    np.float32)
             self.test_criteria = partial(
                 TEST_CRITERIA[hp.test_criteria], dims=self.spatio_axis)
 
@@ -213,9 +263,18 @@ class CNFTrainer:
             fois = pmesh.replicate(fois, self.mesh)
             coords = pmesh.replicate(coords, self.mesh)
 
+        extra = (jnp.asarray(self.normed_extra)
+                 if self.extra_siren_in is not None else None)
+
         def batch_loss(nf_params, latents, idx):
             rows = self.expand_latents(latents[idx])
-            out = self.model(nf_params, coords, rows)
+            if extra is not None:
+                # idx -> (trajectory, extra) pair (reference basic_set :34-38)
+                ex = extra[idx % self.n_extra].reshape(
+                    (idx.shape[0],) + (1,) * (len(self.spatio_shape) + 1))
+                out = self.model(nf_params, (coords, ex), rows)
+            else:
+                out = self.model(nf_params, coords, rows)
             return loss_fn(out, fois[idx])
 
         @partial(jax.jit, static_argnames=("fix_nf",))
@@ -253,7 +312,12 @@ class CNFTrainer:
         @jax.jit
         def eval_rmae(state: CNFTrainState):
             rows = self.expand_latents(state.latents)
-            pred = self.model(state.nf_params, coords, rows)
+            if extra is not None:
+                ex = extra[jnp.arange(n) % self.n_extra].reshape(
+                    (n,) + (1,) * (len(self.spatio_shape) + 1))
+                pred = self.model(state.nf_params, (coords, ex), rows)
+            else:
+                pred = self.model(state.nf_params, coords, rows)
             pred = self.out_normalizer.denormalize(pred)
             target = self.out_normalizer.denormalize(fois)
             return self.test_criteria(pred, target).mean(axis=0)

@@ -127,3 +127,44 @@ class TestCNFTrainer:
         tr.train(log_formats=())
         out = tr.infer(tr.train_coord, tr.state.latents[:2])
         assert out.shape == (2, h, w, c)
+
+
+class TestExtraSirenIn:
+    def test_parametric_cnf_trains(self, tmp_path):
+        """extra_siren_in: (t, n_extra, N, c) data with a scalar parameter
+        channel (reference scripts/train.py:117-136)."""
+        import yaml
+        rng = np.random.default_rng(0)
+        t, n_extra, n_pts, c = 6, 4, 50, 1
+        coords = rng.uniform(size=(n_pts, 2)).astype(np.float32)
+        levels = np.linspace(0, 1, n_extra, dtype=np.float32)
+        fois = np.sin(2 * np.pi * coords[None, None, :, :1]
+                      + levels[None, :, None, None]).astype(np.float32)
+        fois = np.broadcast_to(fois, (t, n_extra, n_pts, c)).copy()
+        np.save(tmp_path / "fois.npy", fois)
+        np.save(tmp_path / "coords.npy", coords)
+        recipe = {
+            "data_path": str(tmp_path / "fois.npy"),
+            "coor_path": str(tmp_path / "coords.npy"),
+            "save_path": str(tmp_path / "run"),
+            "lumped_latent": True,
+            "extra_siren_in": n_extra,
+            "normalizer": {"method": "-11", "dim": 0},
+            "batch_size": 8, "test_batch_size": 8, "multiGPU": 1,
+            "readin_data_shape": "t e N c", "batch_shape": "t e N c",
+            "hidden_size": 8, "epochs": 6, "loss_fn": "MSELoss",
+            "test_criteria": "rMAE", "save_every": 3, "dims": 2,
+            "NF": {"name": "SIRENAutodecoder_film_extra_in",
+                   "num_hidden_layers": 1, "out_features": 1,
+                   "hidden_features": 16},
+            "lr": {"nf": 1e-3, "latents": 1e-2},
+        }
+        (tmp_path / "case.yml").write_text(yaml.safe_dump(recipe))
+        tr = CNFTrainer(cfg.basic_input(str(tmp_path / "case.yml")))
+        assert tr.N_samples == t * n_extra
+        state = tr.train(log_formats=())
+        assert np.all(np.isfinite(np.asarray(state.latents)))
+        # normalizer file carries the extra params
+        from confild_tpu.io.checkpoint import load_pytree
+        p = load_pytree(str(tmp_path / "run" / "normalizer_params.ckpt"))
+        assert "extra_normalizer_params" in p

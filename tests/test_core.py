@@ -153,3 +153,37 @@ class TestConfig:
     def test_unknown_component(self):
         with pytest.raises(KeyError):
             cfg.build_component("nope", {})
+
+
+class TestCheckpointIO:
+    def test_pickle_roundtrip(self, tmp_path):
+        from confild_tpu.io import checkpoint as ck
+        import jax.numpy as jnp
+        tree = {"a": jnp.arange(6.0).reshape(2, 3), "b": [jnp.ones(4), 7]}
+        p = str(tmp_path / "x.ckpt")
+        ck.save_pytree(p, tree)
+        out = ck.load_pytree(p)
+        assert np.allclose(out["a"], np.arange(6.0).reshape(2, 3))
+        assert out["b"][1] == 7
+
+    def test_latest_checkpoint_discovery(self, tmp_path):
+        from confild_tpu.io import checkpoint as ck
+        for i in (3, 10, 7):
+            ck.save_pytree(str(tmp_path / f"checkpoint_{i}.ckpt"), {"i": i})
+        path, idx = ck.latest_checkpoint(str(tmp_path))
+        assert idx == 10 and path.endswith("checkpoint_10.ckpt")
+
+    def test_parse_resume_step(self):
+        from confild_tpu.io import checkpoint as ck
+        assert ck.parse_resume_step("/a/b/model123456.ckpt") == 123456
+        assert ck.parse_resume_step("nonsense.txt") == 0
+
+    def test_orbax_roundtrip(self, tmp_path):
+        from confild_tpu.io import checkpoint as ck
+        import jax.numpy as jnp
+        tree = {"w": jnp.ones((4, 4)), "step": jnp.asarray(3)}
+        p = str(tmp_path / "orbax_ckpt")
+        ck.save_sharded(p, tree)
+        out = ck.restore_sharded(p)
+        assert np.allclose(out["w"], 1.0)
+        assert int(out["step"]) == 3
