@@ -68,6 +68,7 @@ class AttnSpec:
     ch: int
     num_heads: int
     new_order: bool = False
+    use_flash: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -111,6 +112,7 @@ class UNetConfig:
     use_new_attention_order: bool = False
     torso_dtype: Any = jnp.float32     # set jnp.bfloat16 for a bf16 torso
     use_checkpoint: bool = False       # remat each top-level block
+    use_flash_attention: bool = False  # Pallas blockwise attention (O(N) mem)
 
     @property
     def emb_ch(self) -> int:
@@ -150,7 +152,8 @@ def build_plan(cfg: UNetConfig) -> UNetPlan:
             ch = int(mult * mc)
             if ds in cfg.attention_resolutions:
                 layers.append(AttnSpec(ch, cfg.heads_for(ch),
-                                       cfg.use_new_attention_order))
+                                       cfg.use_new_attention_order,
+                                       cfg.use_flash_attention))
             input_blocks.append(tuple(layers))
             input_block_chans.append(ch)
         if level != len(cfg.channel_mult) - 1:
@@ -167,7 +170,8 @@ def build_plan(cfg: UNetConfig) -> UNetPlan:
     middle_block = (
         ResSpec(cfg.dims, ch, ch, emb_ch, cfg.use_scale_shift_norm,
                 dropout=cfg.dropout),
-        AttnSpec(ch, cfg.heads_for(ch), cfg.use_new_attention_order),
+        AttnSpec(ch, cfg.heads_for(ch), cfg.use_new_attention_order,
+                 cfg.use_flash_attention),
         ResSpec(cfg.dims, ch, ch, emb_ch, cfg.use_scale_shift_norm,
                 dropout=cfg.dropout),
     )
@@ -182,7 +186,8 @@ def build_plan(cfg: UNetConfig) -> UNetPlan:
             ch = int(mc * mult)
             if ds in cfg.attention_resolutions:
                 layers.append(AttnSpec(ch, cfg.heads_for(ch, upsample=True),
-                                       cfg.use_new_attention_order))
+                                       cfg.use_new_attention_order,
+                                       cfg.use_flash_attention))
             if level and i == cfg.num_res_blocks:
                 if cfg.resblock_updown:
                     layers.append(ResSpec(
@@ -290,11 +295,20 @@ def _apply_attn(p: Params, spec: AttnSpec, x):
         # legacy layout: per-head [q(d), k(d), v(d)] interleaved
         qkv = qkv.reshape(b, n, heads, 3 * d)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-    scale = 1.0 / np.sqrt(np.sqrt(d))
-    logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k * scale,
-                        preferred_element_type=jnp.float32)
-    weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
-    out = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
+    if spec.use_flash:
+        from confild_tpu.ops.flash_attention import flash_attention
+        qf = q.transpose(0, 2, 1, 3).reshape(b * heads, n, d)
+        kf = k.transpose(0, 2, 1, 3).reshape(b * heads, n, d)
+        vf = v.transpose(0, 2, 1, 3).reshape(b * heads, n, d)
+        out = flash_attention(qf, kf, vf)
+        out = out.reshape(b, heads, n, d).transpose(0, 2, 1, 3)
+    else:
+        scale = 1.0 / np.sqrt(np.sqrt(d))
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k * scale,
+                            preferred_element_type=jnp.float32)
+        weights = jax.nn.softmax(logits.astype(jnp.float32),
+                                 axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
     out = out.reshape(b, n, c)
     out = tnn.conv(p["proj"], out)
     return (h + out).reshape(b, *spatial, c)

@@ -263,6 +263,17 @@ class CNFTrainer:
             fois = pmesh.replicate(fois, self.mesh)
             coords = pmesh.replicate(coords, self.mesh)
 
+        def shard_perm(perm):
+            """Shard the batch axis of the epoch's index table over the data
+            mesh: the per-sample gathers and the SIREN forward/backward then
+            shard along batch, and jit inserts the psum for the shared-decoder
+            grads (replaces DDP over decoder+latents, reference :355-358)."""
+            if self.mesh is None:
+                return perm
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            return jax.device_put(
+                perm, NamedSharding(self.mesh, P(None, pmesh.DATA_AXIS)))
+
         extra = (jnp.asarray(self.normed_extra)
                  if self.extra_siren_in is not None else None)
 
@@ -329,7 +340,7 @@ class CNFTrainer:
             if epoch != 0 and not fix_nf:
                 state = apply_nf_step(state)
             perm = rng.permutation(n)[: n_batches * batch_size]
-            perm = jnp.asarray(perm.reshape(n_batches, batch_size))
+            perm = shard_perm(jnp.asarray(perm.reshape(n_batches, batch_size)))
             state, epoch_loss = run_epoch(state, perm, fix_nf)
             state = dataclasses.replace(state, epoch=epoch)
             logger.logkv("epoch", epoch)

@@ -1,0 +1,57 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from confild_tpu.ops.flash_attention import (_reference_attention,
+                                             flash_attention)
+
+
+class TestFlashAttention:
+    @pytest.mark.parametrize("n,d", [(256, 64), (512, 32)])
+    def test_matches_reference(self, n, d):
+        q = jax.random.normal(jax.random.key(0), (4, n, d))
+        k = jax.random.normal(jax.random.key(1), (4, n, d))
+        v = jax.random.normal(jax.random.key(2), (4, n, d))
+        ref = _reference_attention(q, k, v)
+        out = flash_attention(q, k, v, 128, 128, True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_nondivisible_length_masked_correctly(self):
+        """Padded keys must receive zero softmax weight."""
+        n, d = 200, 32  # pads to 256 with block 128
+        q = jax.random.normal(jax.random.key(0), (2, n, d))
+        k = jax.random.normal(jax.random.key(1), (2, n, d))
+        v = jax.random.normal(jax.random.key(2), (2, n, d))
+        ref = _reference_attention(q, k, v)
+        out = flash_attention(q, k, v, 128, 128, True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_gradients_match(self):
+        n, d = 128, 32
+        q = jax.random.normal(jax.random.key(0), (1, n, d))
+        k = jax.random.normal(jax.random.key(1), (1, n, d))
+        v = jax.random.normal(jax.random.key(2), (1, n, d))
+        w = jax.random.normal(jax.random.key(3), (1, n, d))
+
+        g_flash = jax.grad(lambda q: jnp.sum(
+            flash_attention(q, k, v, 64, 64, True) * w))(q)
+        g_ref = jax.grad(lambda q: jnp.sum(
+            _reference_attention(q, k, v) * w))(q)
+        np.testing.assert_allclose(np.asarray(g_flash), np.asarray(g_ref),
+                                   rtol=2e-4, atol=2e-5)
+
+    def test_unet_flash_matches_einsum(self):
+        """AttentionBlock with use_flash must reproduce the einsum path."""
+        from confild_tpu.models.unet import AttnSpec, _apply_attn, _init_layer
+        import dataclasses
+
+        spec = AttnSpec(64, 2, use_flash=False)
+        p = _init_layer(jax.random.key(0), spec)
+        x = jax.random.normal(jax.random.key(1), (2, 16, 16, 64))
+        ref = _apply_attn(p, spec, x)
+        out = _apply_attn(p, dataclasses.replace(spec, use_flash=True), x)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=3e-5, atol=3e-5)

@@ -133,3 +133,49 @@ class TestDataParallelCNF:
         tr = CNFTrainer(cfg.basic_input(str(tmp_path / "case.yml")), mesh=mesh)
         state = tr.train(log_formats=())
         assert np.all(np.isfinite(np.asarray(state.latents)))
+
+
+class TestCNFShardedEquivalence:
+    def test_sharded_matches_single(self, mesh, tmp_path):
+        """CNF training with the batch axis sharded over 8 devices must match
+        single-device training (same seeds)."""
+        import yaml
+        from confild_tpu import config as cfg
+        from confild_tpu.train.cnf_trainer import CNFTrainer
+
+        rng = np.random.default_rng(0)
+        fois = rng.normal(size=(16, 40, 2)).astype(np.float32)
+        coords = rng.uniform(size=(40, 2)).astype(np.float32)
+        np.save(tmp_path / "fois.npy", fois)
+        np.save(tmp_path / "coords.npy", coords)
+
+        def run(save, m):
+            recipe = {
+                "data_path": str(tmp_path / "fois.npy"),
+                "coor_path": str(tmp_path / "coords.npy"),
+                "save_path": str(tmp_path / save),
+                "lumped_latent": True,
+                "normalizer": {"method": "-11", "dim": 0},
+                "batch_size": 8, "test_batch_size": 8, "multiGPU": 1,
+                "readin_data_shape": "t N c", "batch_shape": "t N c",
+                "hidden_size": 8, "epochs": 3, "loss_fn": "MSELoss",
+                "test_criteria": "rMAE", "save_every": 2, "dims": 2,
+                "NF": {"name": "SIRENAutodecoder_film",
+                       "num_hidden_layers": 1, "out_features": 2,
+                       "hidden_features": 16},
+                "lr": {"nf": 1e-3, "latents": 1e-2},
+            }
+            p = tmp_path / f"{save}.yml"
+            p.write_text(yaml.safe_dump(recipe))
+            tr = CNFTrainer(cfg.basic_input(str(p)), mesh=m)
+            return tr.train(log_formats=())
+
+        s1 = run("single", None)
+        s2 = run("sharded", mesh)
+        np.testing.assert_allclose(np.asarray(s1.latents),
+                                   np.asarray(s2.latents), rtol=1e-4,
+                                   atol=1e-6)
+        for a, b in zip(jax.tree.leaves(s1.nf_params),
+                        jax.tree.leaves(s2.nf_params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-6)
