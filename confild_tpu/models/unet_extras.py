@@ -195,3 +195,44 @@ def create_classifier(
     )
     pool = "adaptive" if classifier_pool == "attention" else classifier_pool
     return EncoderUNetModel(cfg, pool=pool, encoder_out_channels=out_channels)
+
+
+def create_sr_model(
+    large_size: int,
+    small_size: int,
+    num_channels: int,
+    num_res_blocks: int,
+    out_channels: int = 1,
+    learn_sigma: bool = False,
+    attention_resolutions: str = "16",
+    num_heads: int = 1,
+    num_head_channels: int = -1,
+    use_scale_shift_norm: bool = False,
+    dropout: float = 0.0,
+    dims: int = 2,
+) -> SuperResModel:
+    """Super-resolution model factory (reference ``script_util.py:253-321``
+    ``sr_create_model``)."""
+    if large_size == 512 or large_size == 256:
+        channel_mult = (1, 1, 2, 2, 4, 4)
+    elif large_size == 64:
+        channel_mult = (1, 2, 3, 4)
+    else:
+        channel_mult = (1, 2, 4)
+    attention_ds = tuple(large_size // int(r)
+                         for r in attention_resolutions.split(","))
+    cfg = UNetConfig(
+        image_size=large_size,
+        in_channels=out_channels,
+        model_channels=num_channels,
+        out_channels=out_channels if not learn_sigma else 2 * out_channels,
+        num_res_blocks=num_res_blocks,
+        attention_resolutions=attention_ds,
+        channel_mult=channel_mult,
+        dims=dims,
+        num_heads=num_heads,
+        num_head_channels=num_head_channels,
+        use_scale_shift_norm=use_scale_shift_norm,
+        dropout=dropout,
+    )
+    return SuperResModel(cfg)

@@ -248,3 +248,16 @@ def profile(fn):
         with profile_kv(fn.__name__):
             return fn(*args, **kwargs)
     return wrapped
+
+
+def get_logger(name: str = "DPS"):
+    """Tiny stdlib logger (reference ``src/util/logger.py`` get_logger)."""
+    import logging
+    logger = logging.getLogger(name)
+    if not logger.handlers:
+        handler = logging.StreamHandler()
+        handler.setFormatter(logging.Formatter(
+            "%(asctime)s [%(name)s] >> %(message)s"))
+        logger.addHandler(handler)
+        logger.setLevel(logging.INFO)
+    return logger
