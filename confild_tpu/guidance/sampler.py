@@ -104,8 +104,10 @@ class GuidedSampler:
             norm, out = value_fn(img)
             grad = None
 
+        # all batch entries share the same timestep inside the scan, so index
+        # the schedule with t[:1]: broadcasts against any measurement shape
         noisy_measurement = d.q_sample(
-            measurement, t,
+            measurement, t[:1],
             jax.random.normal(jax.random.fold_in(key, 1),
                               measurement.shape, measurement.dtype))
 
