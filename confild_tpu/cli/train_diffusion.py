@@ -64,7 +64,10 @@ def main(argv=None):
     np.save(os.path.join(log_dir, "data_min.npy"), mn)
 
     model, diffusion = build_model_and_diffusion(hp)
+    # the data mesh must evenly divide the batch
     n_dev = len(jax.devices())
+    while n_dev > 1 and hp.batch_size % n_dev != 0:
+        n_dev -= 1
     mesh = pmesh.get_mesh(n_dev) if n_dev > 1 else None
 
     TrainLoop(

@@ -1,0 +1,115 @@
+"""CLI smoke tests: exercise the workflow entry points end-to-end at toy
+scale (the reference's CLIs are its de-facto integration tests, SURVEY §4)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from confild_tpu.cli import (eval_cnf, integral_timescale, sample,
+                             train_cnf, train_diffusion)
+
+
+@pytest.fixture()
+def cnf_case(tmp_path):
+    rng = np.random.default_rng(0)
+    coords = rng.uniform(size=(60, 2)).astype(np.float32)
+    phase = np.linspace(0, np.pi, 8)[:, None, None]
+    fois = np.sin(2 * np.pi * coords[None, :, :1] + phase).astype(np.float32)
+    np.save(tmp_path / "fois.npy", fois)
+    np.save(tmp_path / "coords.npy", coords)
+    recipe = {
+        "data_path": str(tmp_path / "fois.npy"),
+        "coor_path": str(tmp_path / "coords.npy"),
+        "save_path": str(tmp_path / "cnf_run"),
+        "lumped_latent": True,
+        "normalizer": {"method": "-11", "dim": 0},
+        "batch_size": 4, "test_batch_size": 4, "multiGPU": 1,
+        "readin_data_shape": "t N c", "batch_shape": "t N c",
+        "hidden_size": 8, "epochs": 8, "loss_fn": "MSELoss",
+        "test_criteria": "rMAE", "save_every": 4, "dims": 2,
+        "NF": {"name": "SIRENAutodecoder_film", "num_hidden_layers": 1,
+               "out_features": 1, "hidden_features": 16},
+        "lr": {"nf": 1e-3, "latents": 1e-2},
+    }
+    path = tmp_path / "cnf.yml"
+    path.write_text(yaml.safe_dump(recipe))
+    return tmp_path, path
+
+
+class TestCLIs:
+    def test_train_cnf_cli(self, cnf_case):
+        tmp_path, cnf_yml = cnf_case
+        train_cnf.main([str(cnf_yml)])
+        assert any(f.startswith("checkpoint_")
+                   for f in os.listdir(tmp_path / "cnf_run"))
+
+    def test_eval_cnf_cli(self, cnf_case, capsys):
+        tmp_path, cnf_yml = cnf_case
+        train_cnf.main([str(cnf_yml)])
+        from confild_tpu.io.checkpoint import latest_checkpoint
+        ckpt, _ = latest_checkpoint(str(tmp_path / "cnf_run"))
+        mse, rmae = eval_cnf.main([
+            "--checkpoint", ckpt, "--config", str(cnf_yml),
+            "--data", str(tmp_path / "fois.npy"),
+            "--coords", str(tmp_path / "coords.npy"),
+            "--num-snapshots", "4"])
+        assert mse.shape == (1,) and np.isfinite(mse).all()
+
+    def test_diffusion_train_and_sample_cli(self, cnf_case, tmp_path):
+        cnf_dir, cnf_yml = cnf_case
+        train_cnf.main([str(cnf_yml)])
+
+        # latent dataset from the trained CNF run
+        from confild_tpu.io.checkpoint import latest_checkpoint, load_pytree
+        ckpt, _ = latest_checkpoint(str(cnf_dir / "cnf_run"))
+        latents = np.asarray(load_pytree(ckpt)["hidden_states"]["latents"])
+        imgs = np.stack([latents] * 8)  # (8, 8, 8) latent "images"
+        np.save(tmp_path / "train_latents.npy", imgs)
+
+        os.environ["DIFFUSION_TRAINING_TEST"] = "1"
+        try:
+            recipe = {
+                "batch_size": 4, "test_batch_size": 2,
+                "time_length": 8, "latent_length": 8,
+                "image_size": 8, "num_channels": 32, "num_res_blocks": 1,
+                "num_heads": 2, "num_head_channels": -1,
+                "attention_resolutions": "4", "channel_mult": "1,2",
+                "steps": 5, "noise_schedule": "cosine",
+                "lr": 1e-4, "ema_rate": "0.9999",
+                "log_interval": 2, "save_interval": 2, "lr_anneal_steps": 4,
+                "microbatch": -1,
+                "log_path": str(tmp_path / "dlogs"),
+                "train_data_path": str(tmp_path / "train_latents.npy"),
+                "cnf_case_file_path": str(cnf_yml),
+                "max_val": str(tmp_path / "dlogs" / "data_max.npy"),
+                "min_val": str(tmp_path / "dlogs" / "data_min.npy"),
+                "ema_path": str(tmp_path / "dlogs" / "ema_0.9999_000002.ckpt"),
+                "save_path": str(tmp_path / "generated.npy"),
+            }
+            dyml = tmp_path / "diff.yml"
+            dyml.write_text(yaml.safe_dump(recipe))
+            train_diffusion.main([str(dyml)])
+            assert os.path.exists(tmp_path / "dlogs" / "model000002.ckpt")
+
+            sample.main([str(dyml)])
+            out = np.load(tmp_path / "generated.npy")
+            # (test_batch_size, time_length, mesh_points, channels)
+            assert out.shape == (2, 8, 60, 1)
+            assert np.all(np.isfinite(out))
+        finally:
+            os.environ.pop("DIFFUSION_TRAINING_TEST", None)
+
+    def test_integral_timescale_cli(self, tmp_path):
+        rng = np.random.default_rng(0)
+        x = np.zeros((400, 6, 6), np.float32)
+        noise = rng.normal(size=(400, 6, 6))
+        for i in range(1, 400):
+            x[i] = 0.7 * x[i - 1] + noise[i]
+        np.save(tmp_path / "u.npy", x)
+        tau = integral_timescale.main([
+            "--output-dir", str(tmp_path / "u.npy"),
+            "--output-dt", "0.1", "--field", "velocity"])
+        assert np.isfinite(tau) and tau > 0
