@@ -77,8 +77,9 @@ def main():
                                  np.float32(-1), use_pallas=use_pallas)
 
     y = jnp.zeros((size, n_sensors, 3))
-    sampler = create_sampler("ddpm", steps=1000, noise_schedule="cosine")
-    tt = jnp.full((1,), 500, jnp.int32)
+    scan_steps = 25 if on_tpu else 4
+    sampler = create_sampler("ddpm", steps=scan_steps,
+                             noise_schedule="cosine")
     img = jnp.zeros((1, 1, size, size))
 
     def make_model(bf16):
@@ -95,41 +96,50 @@ def main():
     model, params = make_model(bf16=True)
 
     @jax.jit
-    def step_fast(params, cparams, img):
+    def run_fast(params, cparams, img):
+        """The real sampler: the whole guided trajectory is ONE lax.scan."""
         op = make_operator(cparams, use_pallas=on_tpu)
         meth = get_conditioning_method("ps", op, get_noise("gaussian",
                                                            sigma=0.0),
                                        scale=1.0)
         def model_fn(x, t, **kw):
             return model.apply(params, x, t)
-        return sampler._one_step(model_fn, img, tt, jax.random.key(0), y,
-                                 meth)[0]
+        return sampler.p_sample_loop(model_fn, img, y, meth,
+                                     jax.random.key(0))
 
-    dt_fast = _bench(step_fast, params, cparams, img, iters=steps_iters)
-    log(f"DPS step (optimized): {dt_fast*1e3:.1f} ms "
+    dt_fast = _bench(run_fast, params, cparams, img,
+                     iters=max(steps_iters // 2, 1)) / scan_steps
+    log(f"DPS step (optimized, scan-amortized): {dt_fast*1e3:.1f} ms "
         f"-> {dt_fast*1000:.1f} s per 1000-step sample")
 
     # --- naive baseline: f32 torso + double-traced guidance graph ---
     model32, params32 = make_model(bf16=False)
 
     @jax.jit
-    def step_naive(params, cparams, img):
+    def run_naive(params, cparams, img):
         op = make_operator(cparams, use_pallas=False)
         meth = get_conditioning_method("ps", op, get_noise("gaussian",
                                                            sigma=0.0),
                                        scale=1.0)
         def model_fn(x, t, **kw):
             return model32.apply(params, x, t)
-        # double-trace: one fwd for the sample, an independent fwd+bwd for
-        # the guidance gradient (the reference's autograd structure)
-        out = sampler._inner_sample(model_fn, img, tt, jax.random.key(0))
-        def x0_from_prev(xp):
-            return sampler._inner_sample(model_fn, xp, tt,
-                                         jax.random.key(0))["pred_xstart"]
-        grad, norm = meth.grad_and_value(img, x0_from_prev, y)
-        return out["sample"] - grad
 
-    dt_naive = _bench(step_naive, params32, cparams, img, iters=steps_iters)
+        def step(im, i):
+            t = jnp.full((1,), i, jnp.int32)
+            # double-trace: one fwd for the sample, an independent fwd+bwd
+            # for the guidance gradient (the reference's autograd structure)
+            out = sampler._inner_sample(model_fn, im, t, jax.random.key(0))
+            def x0_from_prev(xp):
+                return sampler._inner_sample(
+                    model_fn, xp, t, jax.random.key(0))["pred_xstart"]
+            grad, _ = meth.grad_and_value(im, x0_from_prev, y)
+            return out["sample"] - grad, None
+
+        ts = jnp.arange(scan_steps - 1, -1, -1)
+        return jax.lax.scan(step, img, ts)[0]
+
+    dt_naive = _bench(run_naive, params32, cparams, img,
+                      iters=max(steps_iters // 2, 1)) / scan_steps
     log(f"DPS step (naive translation): {dt_naive*1e3:.1f} ms")
 
     # --- secondary: CNF decode throughput ---

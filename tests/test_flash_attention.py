@@ -55,3 +55,29 @@ class TestFlashAttention:
         out = _apply_attn(p, dataclasses.replace(spec, use_flash=True), x)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=3e-5, atol=3e-5)
+
+
+class TestRingAttention:
+    def test_matches_reference_on_mesh(self):
+        from confild_tpu.ops.ring_attention import ring_attention
+        from confild_tpu.parallel import mesh as pmesh
+
+        mesh = pmesh.get_mesh(8)
+        bh, n, d = 2, 64, 16
+        q = jax.random.normal(jax.random.key(0), (bh, n, d))
+        k = jax.random.normal(jax.random.key(1), (bh, n, d))
+        v = jax.random.normal(jax.random.key(2), (bh, n, d))
+        ref = _reference_attention(q, k, v)
+        out = ring_attention(q, k, v, mesh)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=3e-5, atol=3e-5)
+
+    def test_output_stays_sharded(self):
+        from confild_tpu.ops.ring_attention import ring_attention
+        from confild_tpu.parallel import mesh as pmesh
+
+        mesh = pmesh.get_mesh(8)
+        q = jax.random.normal(jax.random.key(0), (1, 128, 8))
+        out = ring_attention(q, q, q, mesh)
+        assert out.sharding.spec == jax.sharding.PartitionSpec(None, "data",
+                                                               None)
