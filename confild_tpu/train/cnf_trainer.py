@@ -288,7 +288,7 @@ class CNFTrainer:
                 out = self.model(nf_params, coords, rows)
             return loss_fn(out, fois[idx])
 
-        @partial(jax.jit, static_argnames=("fix_nf",))
+        @partial(jax.jit, static_argnames=("fix_nf",), donate_argnums=(0,))
         def run_epoch(state: CNFTrainState, perm, fix_nf: bool):
             """One epoch = scan over batches.  Decoder step happens OUTSIDE
             (cadence: once per epoch, reference :399-401)."""
@@ -311,7 +311,7 @@ class CNFTrainer:
                 state, latents=latents, opt_lat_state=opt_lat_state,
                 nf_grad_accum=nf_accum), losses.mean()
 
-        @jax.jit
+        @partial(jax.jit, donate_argnums=(0,))
         def apply_nf_step(state: CNFTrainState):
             updates, opt_nf_state = opt_nf.update(
                 state.nf_grad_accum, state.opt_nf_state, state.nf_params)
@@ -320,18 +320,28 @@ class CNFTrainer:
                 state, nf_params=nf_params, opt_nf_state=opt_nf_state,
                 nf_grad_accum=jax.tree.map(jnp.zeros_like, state.nf_grad_accum))
 
+        # evaluation streams test_batch_size-sized chunks (the full dataset
+        # at once would not fit HBM for the production cases)
+        eval_bs = min(hp.test_batch_size, n)
+        n_eval = (n // eval_bs) * eval_bs
+
         @jax.jit
         def eval_rmae(state: CNFTrainState):
-            rows = self.expand_latents(state.latents)
-            if extra is not None:
-                ex = extra[jnp.arange(n) % self.n_extra].reshape(
-                    (n,) + (1,) * (len(self.spatio_shape) + 1))
-                pred = self.model(state.nf_params, (coords, ex), rows)
-            else:
-                pred = self.model(state.nf_params, coords, rows)
-            pred = self.out_normalizer.denormalize(pred)
-            target = self.out_normalizer.denormalize(fois)
-            return self.test_criteria(pred, target).mean(axis=0)
+            def one(idx):
+                rows = self.expand_latents(state.latents[idx])
+                if extra is not None:
+                    ex = extra[idx % self.n_extra].reshape(
+                        (idx.shape[0],) + (1,) * (len(self.spatio_shape) + 1))
+                    pred = self.model(state.nf_params, (coords, ex), rows)
+                else:
+                    pred = self.model(state.nf_params, coords, rows)
+                pred = self.out_normalizer.denormalize(pred)
+                target = self.out_normalizer.denormalize(fois[idx])
+                return self.test_criteria(pred, target)
+
+            idxs = jnp.arange(n_eval).reshape(-1, eval_bs)
+            errs = jax.lax.map(one, idxs)
+            return errs.reshape(-1, errs.shape[-1]).mean(axis=0)
 
         rng = np.random.default_rng(0)
         start = int(state.epoch)

@@ -144,7 +144,10 @@ class TrainLoop:
             if path:
                 ema = jax.tree.map(jnp.asarray, ckpt_io.load_pytree(path))
                 tlog.log(f"loading EMA from checkpoint: {path}")
-            ema_params.append(jax.tree.map(jnp.asarray, ema))
+            # materialize a distinct buffer: EMA starts equal to params and
+            # the donated train step must not see aliased leaves
+            ema_params.append(jax.tree.map(
+                lambda x: jnp.array(x, copy=True), ema))
 
         state = DiffusionTrainState(
             params=jax.tree.map(jnp.asarray, params),
@@ -166,7 +169,7 @@ class TrainLoop:
         n_micro = max(self.batch_size // self.microbatch, 1)
         micro = self.microbatch
 
-        @jax.jit
+        @partial(jax.jit, donate_argnums=(0,))
         def train_step(state: DiffusionTrainState, batch, key):
             t_key, noise_key = jax.random.split(key)
             t, weights, sampler_state = sampler.sample(
