@@ -115,15 +115,34 @@ class CNFDecodeOperator:
         return fields
 
 
+def _load_cnf_params(ckpt_path: str):
+    """CNF decoder params from either a reference ``.pt`` or a framework
+    ``.ckpt`` checkpoint."""
+    if ckpt_path.endswith(".pt"):
+        from confild_tpu.io.torch_port import load_cnf_checkpoint
+        return load_cnf_checkpoint(ckpt_path)["params"]
+    from confild_tpu.io.checkpoint import load_pytree
+    return load_pytree(ckpt_path)["model_state_dict"]
+
+
+def _load_normalizer_file(path: str) -> dict:
+    """Normalizer params from ``.pt`` or ``.ckpt``; returns short-key dict."""
+    if path.endswith(".pt"):
+        from confild_tpu.io.torch_port import load_normalizer_params
+        return load_normalizer_params(path)
+    from confild_tpu.io.checkpoint import load_pytree
+    raw = load_pytree(path)
+    return {k.replace("_normalizer_params", ""): tuple(np.asarray(v)
+                                                       for v in val)
+            for k, val in raw.items()}
+
+
 def _load_cnf_assets(ckpt_path: str, normalizer_params_path: str | None,
                      y_channels: int | None = None,
                      x_params=None, y_params=None):
-    from confild_tpu.io.torch_port import (load_cnf_checkpoint,
-                                           load_normalizer_params)
-
-    params = load_cnf_checkpoint(ckpt_path)["params"]
+    params = _load_cnf_params(ckpt_path)
     if normalizer_params_path is not None:
-        np_par = load_normalizer_params(normalizer_params_path)
+        np_par = _load_normalizer_file(normalizer_params_path)
         x_params = np_par["x"]
         y_params = np_par["y"]
         if y_channels is not None:
@@ -168,19 +187,21 @@ def case3_gappy_operator(**kw):
 @register_operator(name="case4")
 def case4_operator(coords, max_val, min_val, normalizer_params_path,
                    ckpt_path, batch_size=None, device=None, **kw):
-    """3-D cube operator (reference ``measurements.py:183-226``); normalizer
-    file uses hierarchical ``y_normalizer0u/0l_params`` keys."""
-    from confild_tpu.io.torch_port import (load_cnf_checkpoint,
-                                           load_torch_checkpoint)
-
-    params = load_cnf_checkpoint(ckpt_path)["params"]
-    raw = load_torch_checkpoint(normalizer_params_path)
+    """3-D cube operator (reference ``measurements.py:183-226``); the
+    published normalizer file uses hierarchical ``y_normalizer0u/0l_params``
+    keys."""
+    params = _load_cnf_params(ckpt_path)
+    if normalizer_params_path.endswith(".pt"):
+        from confild_tpu.io.torch_port import load_torch_checkpoint
+        raw = load_torch_checkpoint(normalizer_params_path)
+    else:
+        from confild_tpu.io.checkpoint import load_pytree
+        raw = load_pytree(normalizer_params_path)
+    x_par = tuple(np.asarray(v) for v in raw["x_normalizer_params"])
     if "y_normalizer0u_params" in raw:
-        x_par = tuple(np.asarray(v) for v in raw["x_normalizer_params"])
         y_par = (np.asarray(raw["y_normalizer0u_params"]),
                  np.asarray(raw["y_normalizer0l_params"]))
     else:
-        x_par = tuple(np.asarray(v) for v in raw["x_normalizer_params"])
         y_par = tuple(np.asarray(v) for v in raw["y_normalizer_params"])
     x_norm = norm.Normalizer(x_par, "-11", 0)
     y_norm = norm.Normalizer(y_par, "-11", 0)

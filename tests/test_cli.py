@@ -113,3 +113,72 @@ class TestCLIs:
             "--output-dir", str(tmp_path / "u.npy"),
             "--output-dt", "0.1", "--field", "velocity"])
         assert np.isfinite(tau) and tau > 0
+
+
+class TestConditionalCLI:
+    def test_sample_conditional_end_to_end(self, cnf_case, tmp_path):
+        """The north-star flow: DPS-guided generation from sparse sensors
+        through the CLI with framework-native checkpoints."""
+        import jax
+        from confild_tpu.cli import sample_conditional
+        from confild_tpu.io.checkpoint import latest_checkpoint, save_pytree
+        from confild_tpu.models import unet as junet
+
+        cnf_dir, cnf_yml = cnf_case
+        train_cnf.main([str(cnf_yml)])
+        cnf_ckpt, _ = latest_checkpoint(str(cnf_dir / "cnf_run"))
+
+        # tiny diffusion model checkpoint (random weights: the CLI flow is
+        # under test, not sample quality)
+        t_len, l_size = 8, 8
+        model = junet.create_model(
+            image_size=8, num_channels=32, num_res_blocks=1,
+            channel_mult="1,2", attention_resolutions="4", num_heads=2)
+        params = model.init(jax.random.key(0))
+        ema_path = tmp_path / "ema.ckpt"
+        save_pytree(str(ema_path), params)
+
+        coords = np.load(cnf_dir / "coords.npy")
+        sensors = coords[:5]
+        np.save(tmp_path / "sensor_coords.npy", sensors)
+        np.save(tmp_path / "measures.npy",
+                np.zeros((t_len, 5, 1), np.float32))
+        np.save(tmp_path / "data_max.npy", np.float32(1.0))
+        np.save(tmp_path / "data_min.npy", np.float32(-1.0))
+
+        # Case4-style GLOBAL normalizer params (the CNF run's lumped fit is
+        # per-mesh-point, which only applies at the training mesh; sensor
+        # decode needs per-channel params like the published checkpoints)
+        norm_path = tmp_path / "op_normalizer.ckpt"
+        save_pytree(str(norm_path), {
+            "x_normalizer_params": (np.ones(2, np.float32),
+                                    np.zeros(2, np.float32)),
+            "y_normalizer_params": (np.ones((1, 1), np.float32),
+                                    -np.ones((1, 1), np.float32)),
+        })
+
+        recipe = {
+            "image_size": 8, "num_channels": 32, "num_res_blocks": 1,
+            "num_heads": 2, "num_head_channels": -1,
+            "attention_resolutions": "4", "channel_mult": "1,2",
+            "steps": 4, "noise_schedule": "cosine",
+            "ema_path": str(ema_path),
+            "cnf_checkpoint": cnf_ckpt,
+            "cnf_normalizer": str(norm_path),
+            "cnf_coords": str(cnf_dir / "coords.npy"),
+            "data_max": str(tmp_path / "data_max.npy"),
+            "data_min": str(tmp_path / "data_min.npy"),
+            "sensor_coords": str(tmp_path / "sensor_coords.npy"),
+            "sensor_measures": str(tmp_path / "measures.npy"),
+            "operator": "case4", "operator_batch_size": 8,
+            "sampler": "ddpm", "conditioning": "ps", "scale": 0.1,
+            "no_of_samples": 2, "time_length": t_len, "latent_size": l_size,
+            "decode_batch_size": 4, "seed": 0,
+            "save_path": str(tmp_path / "cond_out.npy"),
+        }
+        cyml = tmp_path / "cond.yml"
+        cyml.write_text(yaml.safe_dump(recipe))
+        sample_conditional.main([str(cyml)])
+        out = np.load(tmp_path / "cond_out.npy")
+        assert out.shape == (2, t_len, 60, 1)
+        assert np.all(np.isfinite(out))
