@@ -18,3 +18,16 @@ with thin workflow entry points in :mod:`confild_tpu.cli`.
 """
 
 __version__ = "0.1.0"
+
+from confild_tpu.config import basic_input  # noqa: F401
+
+
+def __getattr__(name):
+    # lazy submodule access: confild_tpu.models, .diffusion, ... without
+    # paying import cost (jax trace-time setup) at package import
+    import importlib
+    if name in ("models", "diffusion", "guidance", "train", "parallel",
+                "ops", "core", "io", "utils", "analysis", "inference",
+                "config"):
+        return importlib.import_module(f"confild_tpu.{name}")
+    raise AttributeError(f"module 'confild_tpu' has no attribute {name!r}")

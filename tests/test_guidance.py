@@ -145,3 +145,41 @@ class TestRegistries:
             get_operator("nope")
         with pytest.raises(NameError):
             get_noise("nope")
+
+
+class TestCaseOperatorFactories:
+    def test_case3_factory_with_native_ckpt(self, tmp_path):
+        """case3 registry factory: framework checkpoint + normalizer file,
+        y params trimmed to the first 2 channels (reference
+        measurements.py:99-137)."""
+        from confild_tpu.io.checkpoint import save_pytree
+        from confild_tpu.guidance.operators import get_operator
+
+        m = cnf.create_nf("SIRENAutodecoder_film", in_coord_features=2,
+                          in_latent_features=256, out_features=2,
+                          num_hidden_layers=2, hidden_features=32)
+        params = m.init_params(jax.random.key(0))
+        ckpt = tmp_path / "checkpoint_1.ckpt"
+        save_pytree(str(ckpt), {"model_state_dict": params, "epoch": 1})
+        norm_file = tmp_path / "normalizer_params.ckpt"
+        save_pytree(str(norm_file), {
+            "x_normalizer_params": (np.ones(2, np.float32),
+                                    np.zeros(2, np.float32)),
+            # 4 channels saved, operator trims to 2
+            "y_normalizer_params": (np.ones((1, 4), np.float32),
+                                    -np.ones((1, 4), np.float32)),
+        })
+        coords = np.random.default_rng(0).uniform(size=(20, 2)).astype(np.float32)
+        op = get_operator("case3", coords=coords, max_val=np.float32(1.0),
+                          min_val=np.float32(-1.0),
+                          normalizer_params_path=str(norm_file),
+                          ckpt_path=str(ckpt))
+        data = jax.random.normal(jax.random.key(1), (1, 1, 4, 256)) * 0.1
+        fields = op.forward(data)
+        assert fields.shape == (4, 20, 2)
+        assert jnp.all(jnp.isfinite(fields))
+
+    def test_case3_gappy_alias(self, tmp_path):
+        from confild_tpu.guidance.operators import __OPERATOR__
+        assert "case3_gappy" in __OPERATOR__
+        assert "case2" in __OPERATOR__ and "case4" in __OPERATOR__
