@@ -100,3 +100,10 @@ def test_full_pipeline(tmp_path):
     assert np.all(np.isfinite(fields))
     # generated fields live in the data's value range (loose physics gate)
     assert np.abs(fields).max() < 3 * np.abs(fois).max()
+
+    # --- physics gate: temporal spectra of generated vs training fields ---
+    # (loose bound at toy training scale; the metric itself is the
+    # BASELINE.md <1% gate instrument)
+    from confild_tpu.analysis.metrics import spectra_relative_error
+    err = spectra_relative_error(fields[..., 0].T, fois[..., 0].T, axis=-1)
+    assert np.isfinite(err) and err < 10.0, err
