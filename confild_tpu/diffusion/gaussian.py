@@ -18,10 +18,8 @@ the model always receives original-process indices via ``timestep_map``
 
 from __future__ import annotations
 
-import dataclasses
 import enum
-from functools import partial
-from typing import Any, Callable, Sequence
+from typing import Callable, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -10,11 +10,9 @@ under ``jit`` + sharded batch the update already sees the global batch.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 @dataclasses.dataclass(frozen=True)

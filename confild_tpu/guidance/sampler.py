@@ -15,16 +15,14 @@ Registry names match ``create_sampler`` (``gaussian_diffusion.py:30-52``):
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Any, Callable
+from typing import Any
 
 import jax
 import jax.numpy as jnp
 
 from confild_tpu.core import schedules as sched
 from confild_tpu.diffusion.gaussian import (GaussianDiffusion, LossType,
-                                            MEAN_PROCESSORS, VAR_PROCESSORS,
-                                            ModelMeanType, ModelVarType)
+                                            MEAN_PROCESSORS, VAR_PROCESSORS)
 
 __SAMPLER__: dict[str, Any] = {}
 

@@ -11,7 +11,7 @@ compilation, remainder handled by padding).
 from __future__ import annotations
 
 import os
-from typing import Any, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

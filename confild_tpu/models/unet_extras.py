@@ -16,7 +16,6 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from confild_tpu.models import nn as tnn
 from confild_tpu.models.unet import (UNetConfig, UNetModel, _apply_layer,

@@ -15,8 +15,6 @@ Composable with the single-chip Pallas flash kernel for the local blocks
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -31,7 +31,6 @@ eliminates the unused param cotangents).
 from __future__ import annotations
 
 import functools
-from typing import Any
 
 import jax
 import jax.numpy as jnp

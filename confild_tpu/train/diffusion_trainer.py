@@ -32,8 +32,7 @@ import numpy as np
 import optax
 
 from confild_tpu.diffusion.gaussian import GaussianDiffusion
-from confild_tpu.diffusion.resample import (LossSecondMomentResampler,
-                                            UniformSampler)
+from confild_tpu.diffusion.resample import UniformSampler
 from confild_tpu.io import checkpoint as ckpt_io
 from confild_tpu.models import nn as tnn
 from confild_tpu.parallel import mesh as pmesh
