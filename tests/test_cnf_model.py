@@ -157,3 +157,39 @@ class TestCheckpointRoundtrip:
         p = load_normalizer_params(str(path))
         np.testing.assert_allclose(p["x"][0], [1.0, 1.0])
         np.testing.assert_allclose(p["y"][1], [-2.0])
+
+
+class TestPublishedCheckpointLayout:
+    def test_is_pub_raw_tensor_latents(self, tmp_path):
+        """Published Zenodo checkpoints store hidden_states as a raw tensor,
+        sometimes with broadcast singleton dims (reference
+        inference_function.py:182-212)."""
+        torch = pytest.importorskip("torch")
+        from confild_tpu.io.torch_port import (latents_from_hidden_states,
+                                               load_torch_checkpoint)
+
+        raw = torch.randn(12, 1, 1, 16)
+        path = tmp_path / "pub.pt"
+        torch.save({"hidden_states": raw}, path)
+        ck = load_torch_checkpoint(str(path))
+        lat = latents_from_hidden_states(ck["hidden_states"])
+        assert lat.shape == (12, 16)
+        np.testing.assert_allclose(lat, raw.numpy().reshape(12, 16))
+
+    def test_bf16_storage_roundtrip(self, tmp_path):
+        torch = pytest.importorskip("torch")
+        from confild_tpu.io.torch_port import load_torch_checkpoint
+        x = torch.randn(8, 4).to(torch.bfloat16)
+        path = tmp_path / "bf16.pt"
+        torch.save({"w": x}, path)
+        out = load_torch_checkpoint(str(path))
+        np.testing.assert_allclose(out["w"], x.float().numpy())
+
+    def test_noncontiguous_tensor(self, tmp_path):
+        torch = pytest.importorskip("torch")
+        from confild_tpu.io.torch_port import load_torch_checkpoint
+        x = torch.randn(6, 8).t()  # transposed view: non-trivial strides
+        path = tmp_path / "stride.pt"
+        torch.save({"w": x}, path)
+        out = load_torch_checkpoint(str(path))
+        np.testing.assert_allclose(out["w"], x.numpy())
