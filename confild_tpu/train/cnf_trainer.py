@@ -271,8 +271,8 @@ class CNFTrainer:
             if self.mesh is None:
                 return perm
             from jax.sharding import NamedSharding, PartitionSpec as P
-            return jax.device_put(
-                perm, NamedSharding(self.mesh, P(None, pmesh.DATA_AXIS)))
+            spec = (None,) * (perm.ndim - 1) + (pmesh.DATA_AXIS,)
+            return jax.device_put(perm, NamedSharding(self.mesh, P(*spec)))
 
         extra = (jnp.asarray(self.normed_extra)
                  if self.extra_siren_in is not None else None)
@@ -288,8 +288,7 @@ class CNFTrainer:
                 out = self.model(nf_params, coords, rows)
             return loss_fn(out, fois[idx])
 
-        @partial(jax.jit, static_argnames=("fix_nf",), donate_argnums=(0,))
-        def run_epoch(state: CNFTrainState, perm, fix_nf: bool):
+        def _run_epoch(state: CNFTrainState, perm):
             """One epoch = scan over batches.  Decoder step happens OUTSIDE
             (cadence: once per epoch, reference :399-401)."""
 
@@ -311,14 +310,28 @@ class CNFTrainer:
                 state, latents=latents, opt_lat_state=opt_lat_state,
                 nf_grad_accum=nf_accum), losses.mean()
 
-        @partial(jax.jit, donate_argnums=(0,))
-        def apply_nf_step(state: CNFTrainState):
+        def _apply_nf_step(state: CNFTrainState):
             updates, opt_nf_state = opt_nf.update(
                 state.nf_grad_accum, state.opt_nf_state, state.nf_params)
             nf_params = optax.apply_updates(state.nf_params, updates)
             return dataclasses.replace(
                 state, nf_params=nf_params, opt_nf_state=opt_nf_state,
                 nf_grad_accum=jax.tree.map(jnp.zeros_like, state.nf_grad_accum))
+
+        @partial(jax.jit, static_argnames=("fix_nf",), donate_argnums=(0,))
+        def run_chunk(state: CNFTrainState, perms, epoch_ids, fix_nf: bool):
+            """Several epochs in ONE program: scan over (perm, epoch) pairs,
+            applying the decoder step between epochs (skipped at the global
+            epoch 0, reference :399-401).  Amortizes per-call dispatch."""
+
+            def epoch_body(state, inp):
+                perm, e = inp
+                if not fix_nf:
+                    state = jax.lax.cond(e != 0, _apply_nf_step,
+                                         lambda s: s, state)
+                return _run_epoch(state, perm)
+
+            return jax.lax.scan(epoch_body, state, (perms, epoch_ids))
 
         # evaluation streams test_batch_size-sized chunks (the full dataset
         # at once would not fit HBM for the production cases)
@@ -345,24 +358,44 @@ class CNFTrainer:
 
         rng = np.random.default_rng(0)
         start = int(state.epoch)
-        for epoch in range(start, start + hp.epochs):
-            # decoder stepped with LAST epoch's accumulated grads (:399-401)
-            if epoch != 0 and not fix_nf:
-                state = apply_nf_step(state)
-            perm = rng.permutation(n)[: n_batches * batch_size]
-            perm = shard_perm(jnp.asarray(perm.reshape(n_batches, batch_size)))
-            state, epoch_loss = run_epoch(state, perm, fix_nf)
-            state = dataclasses.replace(state, epoch=epoch)
-            logger.logkv("epoch", epoch)
-            logger.logkv("loss", float(epoch_loss))
+        end = start + hp.epochs
 
-            if epoch % hp.save_every == 0 or epoch == start + hp.epochs - 1:
-                test_error = np.asarray(eval_rmae(state))
-                for k, v in enumerate(test_error):
-                    logger.logkv(f"test_error_{k}", float(v))
-                self.state = state
-                self.save(epoch)
-            logger.dumpkvs()
+        # chunk boundaries fall on eval/save epochs (epoch % save_every == 0
+        # and the final epoch), preserving the reference cadence while running
+        # each chunk as one XLA program
+        boundaries = sorted({e for e in range(start, end)
+                             if e % hp.save_every == 0} | {end - 1})
+        chunks, cursor = [], start
+        for b in boundaries:
+            if b >= cursor:
+                chunks.append((cursor, b + 1))
+                cursor = b + 1
+        if cursor < end:
+            chunks.append((cursor, end))
+
+        for chunk_start, chunk_end in chunks:
+            n_epochs = chunk_end - chunk_start
+            perms = np.stack([
+                rng.permutation(n)[: n_batches * batch_size]
+                .reshape(n_batches, batch_size)
+                for _ in range(n_epochs)])
+            perms = shard_perm(jnp.asarray(perms))
+            epoch_ids = jnp.arange(chunk_start, chunk_end)
+            state, losses = run_chunk(state, perms, epoch_ids, fix_nf)
+            losses = np.asarray(losses)
+            epoch = chunk_end - 1
+            state = dataclasses.replace(state, epoch=epoch)
+
+            for j, e in enumerate(range(chunk_start, chunk_end)):
+                logger.logkv("epoch", e)
+                logger.logkv("loss", float(losses[j]))
+                if e == epoch and (e % hp.save_every == 0 or e == end - 1):
+                    test_error = np.asarray(eval_rmae(state))
+                    for k, v in enumerate(test_error):
+                        logger.logkv(f"test_error_{k}", float(v))
+                    self.state = state
+                    self.save(e)
+                logger.dumpkvs()
 
         self.state = state
         return state
