@@ -80,6 +80,7 @@ class TrainLoop:
         save_dir: str | None = None,
         mesh=None,
         seed: int = 42,
+        steps_per_call: int = 1,
     ):
         self.model = model
         self.diffusion = diffusion
@@ -99,6 +100,9 @@ class TrainLoop:
         self.save_dir = save_dir or (tlog.get_current().dir or ".")
         self.mesh = mesh
         self.key = jax.random.key(seed)
+        # run several optimizer steps per jitted call (scan over stacked
+        # batches) to amortize dispatch; 1 preserves per-step host control
+        self.steps_per_call = max(int(steps_per_call), 1)
 
         self.resume_step = 0
         self.state = self._load_or_init()
@@ -168,8 +172,7 @@ class TrainLoop:
         n_micro = max(self.batch_size // self.microbatch, 1)
         micro = self.microbatch
 
-        @partial(jax.jit, donate_argnums=(0,))
-        def train_step(state: DiffusionTrainState, batch, key):
+        def step_body(state: DiffusionTrainState, batch, key):
             t_key, noise_key = jax.random.split(key)
             t, weights, sampler_state = sampler.sample(
                 state.sampler_state, t_key, batch.shape[0])
@@ -245,6 +248,15 @@ class TrainLoop:
                 metrics["vb"] = terms["vb"].mean()
             return new_state, metrics
 
+        train_step = jax.jit(step_body, donate_argnums=(0,))
+
+        def multi(state, batches, keys):
+            def s(state, inp):
+                b, k = inp
+                return step_body(state, b, k)
+            return jax.lax.scan(s, state, (batches, keys))
+
+        self._multi_step = jax.jit(multi, donate_argnums=(0,))
         return train_step
 
     def _build_valid_step(self):
@@ -271,16 +283,44 @@ class TrainLoop:
         logger = tlog.get_current()
         while (not self.lr_anneal_steps
                or int(self.state.step) < self.lr_anneal_steps + self.resume_step):
-            batch, _cond = next(self.data)
-            self.run_step(batch)
+            if self.steps_per_call > 1:
+                self.run_steps(self.steps_per_call)
+            else:
+                batch, _cond = next(self.data)
+                self.run_step(batch)
             step = int(self.state.step)
-            if step % self.log_interval == 0:
+            if step % self.log_interval < self.steps_per_call:
                 logger.dumpkvs()
-            if step % self.save_interval == 0 and step > 0:
+            if (step % self.save_interval < self.steps_per_call
+                    and step >= self.save_interval):
                 self.save()
                 if os.environ.get("DIFFUSION_TRAINING_TEST", ""):
                     return
         self.save()
+
+    def run_steps(self, k: int):
+        """k optimizer steps in ONE jitted scan call (amortizes host
+        dispatch; per-step semantics identical to run_step)."""
+        logger = tlog.get_current()
+        batches = []
+        for _ in range(k):
+            b, _cond = next(self.data)
+            batches.append(b)
+        batches = jnp.asarray(np.stack(batches))
+        if self.mesh is not None:
+            batches = pmesh.shard_batch(batches, self.mesh, axis=1)
+        self.key, sub = jax.random.split(self.key)
+        keys = jax.random.split(sub, k)
+        self.state, metrics = self._multi_step(self.state, batches, keys)
+
+        step = int(self.state.step)
+        logger.logkv("step", step)
+        logger.logkv("samples", step * self.batch_size * jax.process_count())
+        for name, vals in metrics.items():
+            arr = np.asarray(vals)
+            finite = arr[np.isfinite(arr)]
+            if finite.size:
+                logger.logkv_mean(name, float(finite.mean()))
 
     def run_step(self, batch):
         logger = tlog.get_current()
