@@ -243,14 +243,42 @@ def _fwd(params, coords, latents, w0, tile_t, tile_m, interpret, compute_dtype):
     return out, (params, coords, latents)
 
 
+# Coordinate-axis chunk size for the rematerialized backward.  Param/latent
+# cotangents sum over mesh points, so the VJP runs independently per chunk —
+# bounding activation memory at ~n_layers * T * BWD_CHUNK * H floats instead
+# of the full-mesh O(53 GB) a naive vjp would store at case2 scale.
+BWD_CHUNK = 4096
+
+
 def _bwd(w0, tile_t, tile_m, interpret, compute_dtype, residuals, g):
     params, coords, latents = residuals
+    m = coords.shape[0]
 
-    def ref(params, coords, latents):
-        return _reference_decode(params, coords, latents, w0)
+    def ref(params, c_chunk, latents):
+        return _reference_decode(params, c_chunk, latents, w0)
 
-    _, vjp = jax.vjp(ref, params, coords, latents)
-    return vjp(g)
+    if m <= BWD_CHUNK:
+        _, vjp = jax.vjp(ref, params, coords, latents)
+        return vjp(g)
+
+    coords_p = _pad_to(coords, 0, BWD_CHUNK)
+    g_p = _pad_to(g, 1, BWD_CHUNK)  # padded g rows are zero -> no grad leak
+    n_chunks = coords_p.shape[0] // BWD_CHUNK
+    c_chunks = coords_p.reshape(n_chunks, BWD_CHUNK, coords.shape[-1])
+    g_chunks = jnp.moveaxis(
+        g_p.reshape(g.shape[0], n_chunks, BWD_CHUNK, g.shape[-1]), 1, 0)
+
+    def body(carry, inp):
+        dp_acc, dz_acc = carry
+        c_chunk, g_chunk = inp
+        _, vjp = jax.vjp(ref, params, c_chunk, latents)
+        dp, dc, dz = vjp(g_chunk)
+        return (jax.tree.map(jnp.add, dp_acc, dp), dz_acc + dz), dc
+
+    zeros = (jax.tree.map(jnp.zeros_like, params), jnp.zeros_like(latents))
+    (dp, dz), dcs = jax.lax.scan(body, zeros, (c_chunks, g_chunks))
+    dcoords = dcs.reshape(-1, coords.shape[-1])[:m]
+    return dp, dcoords, dz
 
 
 fused_siren_decode.defvjp(_fwd, _bwd)

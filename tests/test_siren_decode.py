@@ -111,3 +111,34 @@ class TestFusedDecode:
                                            use_pallas=False), np.float64)
         err_ref = np.abs(ref32 - truth).max()
         assert np.abs(fused - truth).max() <= 2 * err_ref + 1e-6
+
+
+class TestChunkedBackward:
+    def test_chunked_bwd_matches_direct(self, setup, monkeypatch):
+        """Coordinate-chunked backward must equal the direct vjp."""
+        params, coords, latents = setup
+        w = jax.random.normal(jax.random.key(7), (5, 300, 3))
+
+        def loss(z):
+            return jnp.sum(sd.fused_siren_decode(params, coords, z,
+                                                 30.0, 2, 128, True) * w)
+
+        g_direct = jax.grad(loss)(latents)          # m=300 <= BWD_CHUNK
+        monkeypatch.setattr(sd, "BWD_CHUNK", 128)   # force 3 chunks
+        g_chunked = jax.grad(loss)(latents)
+        np.testing.assert_allclose(np.asarray(g_chunked),
+                                   np.asarray(g_direct), rtol=1e-5, atol=1e-6)
+
+    def test_chunked_bwd_coords_grad(self, setup, monkeypatch):
+        params, coords, latents = setup
+        w = jax.random.normal(jax.random.key(8), (5, 300, 3))
+
+        def loss(c):
+            return jnp.sum(sd.fused_siren_decode(params, c, latents,
+                                                 30.0, 2, 128, True) * w)
+
+        g_direct = jax.grad(loss)(coords)
+        monkeypatch.setattr(sd, "BWD_CHUNK", 128)
+        g_chunked = jax.grad(loss)(coords)
+        np.testing.assert_allclose(np.asarray(g_chunked),
+                                   np.asarray(g_direct), rtol=1e-5, atol=1e-6)
