@@ -21,7 +21,8 @@ import numpy as np
 
 from confild_tpu.core import normalize as norm
 from confild_tpu.core.packing import unit_interval_to_minmax
-from confild_tpu.ops.siren_decode import siren_decode
+from confild_tpu.ops.siren_decode import (fused_siren_decode_frozen,
+                                           siren_decode)
 
 __OPERATOR__: dict[str, Callable[..., Any]] = {}
 
@@ -98,9 +99,17 @@ class CNFDecodeOperator:
                                        jnp.asarray(self.min_val))
 
     def decode_latents(self, latents):
-        """(T, L) latent rows -> (T, M, C_out) physical fields."""
-        fields = siren_decode(self.params, self.norm_coords, latents,
-                              w0=self.w0, use_pallas=self.use_pallas)
+        """(T, L) latent rows -> (T, M, C_out) physical fields.
+
+        Uses the frozen-decoder fused op: the backward is ONLY the dZ Pallas
+        kernel (decoder params and mesh coords are frozen during guided
+        sampling, reference measurements.py:76-78)."""
+        if self.use_pallas:
+            fields = fused_siren_decode_frozen(self.params, self.norm_coords,
+                                               latents, self.w0)
+        else:
+            fields = siren_decode(self.params, self.norm_coords, latents,
+                                  w0=self.w0, use_pallas=False)
         return self.y_normalizer.denormalize(fields)
 
     def forward(self, data, mask=None, **kwargs):

@@ -254,12 +254,21 @@ def _bwd(w0, tile_t, tile_m, interpret, compute_dtype, residuals, g):
     params, coords, latents = residuals
     m = coords.shape[0]
 
+    # dlatents: the DPS-critical cotangent — fully fused Pallas backward
+    # (activation recompute stays in VMEM, see fused_siren_decode_dz below)
+    dz = fused_siren_decode_dz(params, coords, latents, g, w0,
+                               interpret=interpret)
+
+    # dparams / dcoords: chunked jnp rematerialization.  These subgraphs are
+    # dead-code-eliminated by XLA when the caller only consumes dlatents
+    # (the DPS case); CNF training uses the plain jnp apply, not this op.
     def ref(params, c_chunk, latents):
         return _reference_decode(params, c_chunk, latents, w0)
 
     if m <= BWD_CHUNK:
         _, vjp = jax.vjp(ref, params, coords, latents)
-        return vjp(g)
+        dp, dcoords, _ = vjp(g)
+        return dp, dcoords, dz
 
     coords_p = _pad_to(coords, 0, BWD_CHUNK)
     g_p = _pad_to(g, 1, BWD_CHUNK)  # padded g rows are zero -> no grad leak
@@ -268,15 +277,14 @@ def _bwd(w0, tile_t, tile_m, interpret, compute_dtype, residuals, g):
     g_chunks = jnp.moveaxis(
         g_p.reshape(g.shape[0], n_chunks, BWD_CHUNK, g.shape[-1]), 1, 0)
 
-    def body(carry, inp):
-        dp_acc, dz_acc = carry
+    def body(dp_acc, inp):
         c_chunk, g_chunk = inp
         _, vjp = jax.vjp(ref, params, c_chunk, latents)
-        dp, dc, dz = vjp(g_chunk)
-        return (jax.tree.map(jnp.add, dp_acc, dp), dz_acc + dz), dc
+        dp, dc, _ = vjp(g_chunk)
+        return jax.tree.map(jnp.add, dp_acc, dp), dc
 
-    zeros = (jax.tree.map(jnp.zeros_like, params), jnp.zeros_like(latents))
-    (dp, dz), dcs = jax.lax.scan(body, zeros, (c_chunks, g_chunks))
+    zeros = jax.tree.map(jnp.zeros_like, params)
+    dp, dcs = jax.lax.scan(body, zeros, (c_chunks, g_chunks))
     dcoords = dcs.reshape(-1, coords.shape[-1])[:m]
     return dp, dcoords, dz
 
@@ -290,3 +298,167 @@ def siren_decode(params, coords, latents, w0: float = 30.0,
     if use_pallas:
         return fused_siren_decode(params, coords, latents, w0, **tile_kwargs)
     return _reference_decode(params, coords, latents, w0)
+
+
+# ---------------------------------------------------------------------------
+# fused backward (dZ): the DPS-critical cotangent
+# ---------------------------------------------------------------------------
+
+def _cos2pi_scaled(r):
+    """d sin2pi(r) / dr = 2*pi*cos(2*pi*r), evaluated with the same fast
+    minimax polynomial via the quarter-turn identity cos(2*pi*r) =
+    sin(2*pi*(r + 1/4)) — a libm cosine here would dominate the backward
+    kernel's runtime."""
+    return (2.0 * np.pi) * _sin2pi(r + 0.25)
+
+
+def _decode_dz_kernel(coords_ref, z_ref, g_ref, w_first_ref, w_mid_ref,
+                      w_head_ref, dz_ref, acts_ref, dx_ref, *,
+                      n_layers: int, tile_t: int, tile_m: int):
+    """Grid (T_tiles, M_tiles): recompute the forward storing pre-activations
+    ("in turns") in VMEM, then walk backward producing the dZ block for this
+    t-tile, accumulated across m-tiles (sequential grid => safe revisiting).
+
+    Refs:
+      coords (TM, C), z (n_mod, TT, H) scaled FiLM rows, g (TT, TM, C_out)
+      w_first (C, H) scaled, w_mid (n_mid, H, H) scaled, w_head (H, C_out)
+      dz out (n_mod, TT, H); scratch acts (n_mod, TT*TM, H) pre-activations,
+      dx (TT*TM, H).
+    """
+    mi = pl.program_id(1)
+    h = acts_ref.shape[-1]
+    flat = tile_t * tile_m
+
+    @pl.when(mi == 0)
+    def _init():
+        dz_ref[...] = jnp.zeros_like(dz_ref)
+
+    # ---- forward recompute, storing pre-activations r_l ----
+    pre = jnp.dot(coords_ref[...], w_first_ref[...],
+                  preferred_element_type=jnp.float32)
+    r = pre[None, :, :] + z_ref[0][:, None, :]          # (TT, TM, H)
+    acts_ref[0] = r.reshape(flat, h)
+    x = _sin2pi(r).reshape(flat, h)
+    for l in range(1, n_layers):
+        pre = jnp.dot(x, w_mid_ref[l - 1], preferred_element_type=jnp.float32)
+        r = pre.reshape(tile_t, tile_m, h) + z_ref[l][:, None, :]
+        acts_ref[l] = r.reshape(flat, h)
+        x = _sin2pi(r).reshape(flat, h)
+
+    # ---- backward ----
+    g = g_ref[...].reshape(flat, g_ref.shape[-1])
+    dx_ref[...] = jnp.dot(g, w_head_ref[...].T,
+                          preferred_element_type=jnp.float32)
+    for l in range(n_layers - 1, -1, -1):
+        dpre = dx_ref[...] * _cos2pi_scaled(acts_ref[l])      # (flat, H)
+        dz_ref[l] += dpre.reshape(tile_t, tile_m, h).sum(axis=1)
+        if l > 0:
+            dx_ref[...] = jnp.dot(dpre, w_mid_ref[l - 1].T,
+                                  preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("w0", "tile_t", "tile_m", "interpret"))
+def fused_siren_decode_dz(params, coords, latents, g, w0: float = 30.0,
+                          tile_t: int = 8, tile_m: int = 128,
+                          interpret: bool | None = None):
+    """dL/dlatents for ``fused_siren_decode`` outputs, fully fused: one Pallas
+    pass recomputes activations tile-wise in VMEM and runs the backward chain,
+    so no (T*M*H)-sized activation ever touches HBM (the jnp vjp would store
+    ``n_layers`` of them — 53 GB at case2 scale)."""
+    if interpret is None:
+        interpret = _interpret_default()
+    w_first, w_mid, w_head, b_head, w2, b1 = _stack_params(params)
+    n_mod = w2.shape[0]
+    h = w_first.shape[-1]
+    c_out = w_head.shape[-1]
+    t, m = latents.shape[0], coords.shape[0]
+
+    scale = jnp.float32(w0 / (2.0 * np.pi))
+    z = (jnp.einsum("tl,nlh->nth", latents, w2,
+                    preferred_element_type=jnp.float32)
+         + b1[:, None, :]) * scale
+    w_first_s = w_first * scale
+    w_mid_s = w_mid * scale
+
+    if tile_t % 8 != 0 and t > tile_t:
+        tile_t = -(-tile_t // 8) * 8
+    coords_p = _pad_to(coords, 0, tile_m)
+    z_p = _pad_to(z, 1, tile_t)
+    g_p = _pad_to(_pad_to(g, 0, tile_t), 1, tile_m)
+    tp, mp = z_p.shape[1], coords_p.shape[0]
+    n_mid = w_mid.shape[0]
+
+    grid = (tp // tile_t, mp // tile_m)
+    dz_scaled = pl.pallas_call(
+        functools.partial(_decode_dz_kernel, n_layers=n_mod,
+                          tile_t=tile_t, tile_m=tile_m),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_m, coords.shape[-1]),
+                         lambda ti, mi: (mi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_mod, tile_t, h),
+                         lambda ti, mi: (0, ti, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_t, tile_m, c_out),
+                         lambda ti, mi: (ti, mi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((coords.shape[-1], h),
+                         lambda ti, mi: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((max(n_mid, 1), h, h),
+                         lambda ti, mi: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, c_out),
+                         lambda ti, mi: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((n_mod, tile_t, h),
+                               lambda ti, mi: (0, ti, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_mod, tp, h), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((n_mod, tile_t * tile_m, h), jnp.float32),
+            pltpu.VMEM((tile_t * tile_m, h), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(coords_p, z_p, g_p, w_first_s, w_mid_s, w_head)
+
+    # chain through the (scaled) FiLM table back to the latents
+    dz = dz_scaled[:, :t, :] * scale
+    return jnp.einsum("nth,nlh->tl", dz, w2,
+                      preferred_element_type=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# frozen-decoder variant: only latents are differentiable (the DPS contract —
+# the CNF decoder is frozen during guided sampling, reference
+# measurements.py:76-78 model.eval()); backward is ONLY the fused dZ kernel.
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def fused_siren_decode_frozen(params, coords, latents, w0: float = 30.0,
+                              tile_t: int = DEFAULT_TILE_T,
+                              tile_m: int = DEFAULT_TILE_M,
+                              interpret: bool | None = None,
+                              compute_dtype=jnp.float32):
+    if interpret is None:
+        interpret = _interpret_default()
+    return _fused_forward(params, coords, latents, w0, tile_t, tile_m,
+                          interpret, compute_dtype)
+
+
+def _frozen_fwd(params, coords, latents, w0, tile_t, tile_m, interpret,
+                compute_dtype):
+    out = fused_siren_decode_frozen(params, coords, latents, w0, tile_t,
+                                    tile_m, interpret, compute_dtype)
+    return out, (params, coords, latents)
+
+
+def _frozen_bwd(w0, tile_t, tile_m, interpret, compute_dtype, residuals, g):
+    params, coords, latents = residuals
+    dz = fused_siren_decode_dz(params, coords, latents, g, w0,
+                               interpret=interpret)
+    # frozen decoder/mesh: zero cotangents (folded away by XLA)
+    return (jax.tree.map(jnp.zeros_like, params),
+            jnp.zeros_like(coords), dz)
+
+
+fused_siren_decode_frozen.defvjp(_frozen_fwd, _frozen_bwd)

@@ -57,9 +57,9 @@ class TestFusedDecode:
                                    rtol=2e-5, atol=2e-6)
 
     def test_gradients_wrt_latents(self, setup):
-        """With a loss linear in the output, the cotangent entering the custom
-        vjp is identical for both paths, so gradients must match exactly (the
-        backward is the same jnp rematerialization)."""
+        """dlatents comes from the fused Pallas dZ kernel: must match the XLA
+        autodiff gradient up to f32 rounding (both are valid f32 backward
+        evaluations of the same chain)."""
         params, coords, latents = setup
         w = jax.random.normal(jax.random.key(5), (5, 300, 3))
 
@@ -74,8 +74,29 @@ class TestFusedDecode:
         g_fused = jax.grad(loss_fused)(latents)
         g_ref = jax.grad(loss_ref)(latents)
         np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
-                                   rtol=1e-6, atol=1e-7)
+                                   rtol=5e-3, atol=1e-5)
         assert jnp.all(jnp.isfinite(g_fused)) and jnp.any(g_fused != 0)
+
+    def test_frozen_op_dz_matches_autodiff(self, setup):
+        params, coords, latents = setup
+        w = jax.random.normal(jax.random.key(9), (5, 300, 3))
+
+        def loss_frozen(z):
+            return jnp.sum(sd.fused_siren_decode_frozen(
+                params, coords, z, 30.0, 2, 128, True) * w)
+
+        def loss_ref(z):
+            return jnp.sum(sd.siren_decode(params, coords, z,
+                                           use_pallas=False) * w)
+
+        g_frozen = jax.grad(loss_frozen)(latents)
+        g_ref = jax.grad(loss_ref)(latents)
+        np.testing.assert_allclose(np.asarray(g_frozen), np.asarray(g_ref),
+                                   rtol=5e-3, atol=1e-5)
+        # frozen semantics: zero cotangents for params/coords
+        gp = jax.grad(lambda p: jnp.sum(sd.fused_siren_decode_frozen(
+            p, coords, latents, 30.0, 2, 128, True)))(params)
+        assert all(np.allclose(np.asarray(x), 0) for x in jax.tree.leaves(gp))
 
     def test_gradients_wrt_params(self, setup):
         params, coords, latents = setup
