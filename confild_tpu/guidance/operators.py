@@ -66,6 +66,15 @@ class InpaintingOperator:
     def ortho_project(self, data, **kwargs):
         return data - self.forward(data, **kwargs)
 
+    def project(self, data, measurement, **kwargs):
+        """Data-consistency projection: observed entries from the
+        measurement, unobserved from the sample.  (The reference's
+        ``ConditioningMethod.project`` calls this but never defines it on its
+        operators — here it is implemented so ``projection``/``mcg`` are
+        usable.)"""
+        return self.ortho_project(data, **kwargs) + self.forward(
+            measurement, **kwargs)
+
 
 @dataclasses.dataclass
 class CNFDecodeOperator:

@@ -113,8 +113,8 @@ def main():
 
     n_traj, n_snap, grid = (4, 16, 32) if args.fast else (16, 64, 64)
     latent = 32 if args.fast else 64
-    cnf_epochs = 40 if args.fast else 400
-    diff_steps = 30 if args.fast else 3000
+    cnf_epochs = 40 if args.fast else 2000
+    diff_steps = 30 if args.fast else 8000
     sample_steps = 10 if args.fast else 250
 
     t0 = time.time()
@@ -140,7 +140,7 @@ def main():
         "batch_size": 64, "test_batch_size": 64, "multiGPU": 1,
         "readin_data_shape": "t N c", "batch_shape": "t N c",
         "hidden_size": latent, "epochs": cnf_epochs, "loss_fn": "MSELoss",
-        "test_criteria": "rMAE", "save_every": max(cnf_epochs // 4, 1),
+        "test_criteria": "rMAE", "save_every": max(cnf_epochs // 8, 1),
         "dims": 2,
         "NF": {"name": "SIRENAutodecoder_film", "num_hidden_layers": 4,
                "out_features": 2, "hidden_features": 128},
@@ -181,6 +181,7 @@ def main():
                      batch_size=min(8, n_traj), lr=1e-4, ema_rate="0.999",
                      log_interval=200, save_interval=10 ** 9,
                      lr_anneal_steps=diff_steps,
+                     steps_per_call=1 if args.fast else 25,
                      save_dir=os.path.join(out_dir, "dckpt"))
     loop.run_loop()
     print(f"      {diff_steps} steps done ({time.time()-t0:.0f}s)")

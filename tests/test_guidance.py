@@ -183,3 +183,78 @@ class TestCaseOperatorFactories:
         from confild_tpu.guidance.operators import __OPERATOR__
         assert "case3_gappy" in __OPERATOR__
         assert "case2" in __OPERATOR__ and "case4" in __OPERATOR__
+
+
+class TestMoreConditioningMethods:
+    def _setup(self):
+        sampler = create_sampler("ddpm", steps=20, noise_schedule="cosine")
+        shape = (1, 1, 8, 8)
+        x0_a = jnp.ones(shape) * 0.5
+        x0_b = -jnp.ones(shape) * 0.5
+        model = make_oracle_model(sampler.diffusion, x0_a, gamma=0.85)
+        mask = jnp.ones(shape)
+        op = get_operator("inpainting", mask=mask)
+        y = op.forward(x0_b)
+        return sampler, model, op, y, shape
+
+    def test_ps_plus_reduces_misfit(self):
+        sampler, model, op, y, shape = self._setup()
+        method = get_conditioning_method("ps+", op, get_noise("clean"),
+                                         scale=10.0, num_sampling=3)
+        out, dist = sampler.p_sample_loop(
+            model, jax.random.normal(jax.random.key(0), shape), y, method,
+            jax.random.key(1), return_distances=True)
+        assert jnp.all(jnp.isfinite(out))
+        assert float(dist[-1]) < float(dist[0])
+
+    def test_mcg_projects_and_guides(self):
+        sampler, model, op, y, shape = self._setup()
+        method = get_conditioning_method("mcg", op, get_noise("clean"),
+                                         scale=5.0)
+        out = sampler.p_sample_loop(
+            model, jax.random.normal(jax.random.key(0), shape), y, method,
+            jax.random.key(1))
+        assert jnp.all(jnp.isfinite(out))
+
+    def test_ps_linear_decay_runs(self):
+        sampler, model, op, y, shape = self._setup()
+        method = get_conditioning_method("ps_linear_decay", op,
+                                         get_noise("clean"),
+                                         start_scale=20.0, end_scale=1.0)
+        out = sampler.p_sample_loop(
+            model, jax.random.normal(jax.random.key(0), shape), y, method,
+            jax.random.key(1))
+        assert jnp.all(jnp.isfinite(out))
+
+    def test_respaced_guided_sampler(self):
+        """Guided DDIM with ddim-respacing: model receives original-process
+        timesteps via the timestep_map (reference respace contract)."""
+        sampler = create_sampler("ddim", steps=1000, noise_schedule="cosine",
+                                 timestep_respacing="ddim10")
+        assert sampler.diffusion.num_timesteps == 10
+        shape = (1, 1, 4, 4)
+        x0 = jnp.full(shape, 0.3)
+        model = make_oracle_model(sampler.diffusion, x0)
+        op = get_operator("inpainting", mask=jnp.ones(shape))
+        method = get_conditioning_method("vanilla", op, get_noise("clean"))
+        out = sampler.p_sample_loop(
+            model, jax.random.normal(jax.random.key(0), shape), x0, method,
+            jax.random.key(1))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x0), atol=0.05)
+
+    def test_case2_hardcoded_constants(self, tmp_path):
+        """case2 factory carries the reference's hard-coded normalizer values
+        (measurements.py:70-75)."""
+        from confild_tpu.io.checkpoint import save_pytree
+        m = cnf.create_nf("SIRENAutodecoder_film", in_coord_features=2,
+                          in_latent_features=256, out_features=4,
+                          num_hidden_layers=1, hidden_features=16)
+        ckpt = tmp_path / "c.ckpt"
+        save_pytree(str(ckpt), {"model_state_dict":
+                                m.init_params(jax.random.key(0))})
+        op = get_operator("case2", ckpt_path=str(ckpt), max_val=np.float32(1),
+                          min_val=np.float32(-1),
+                          coords=np.zeros((4, 2), np.float32))
+        np.testing.assert_allclose(
+            np.asarray(op.y_normalizer.params[0]),
+            [[0.9617, 0.2666, 0.2869, 0.0290]], rtol=1e-6)
