@@ -35,6 +35,13 @@ def get_mesh(n_devices: int | None = None,
     if devices is None:
         devices = jax.devices()
         if n_devices is not None:
+            if n_devices > len(devices):
+                raise ValueError(
+                    f"requested a {n_devices}-device mesh but only "
+                    f"{len(devices)} devices are visible; set "
+                    f"XLA_FLAGS=--xla_force_host_platform_device_count="
+                    f"{n_devices} (with JAX_PLATFORMS=cpu) before backend "
+                    f"init to test sharding on a virtual mesh")
             devices = devices[:n_devices]
     devices = np.asarray(devices)
     if len(axis_names) > 1:

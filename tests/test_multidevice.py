@@ -179,3 +179,15 @@ class TestCNFShardedEquivalence:
                         jax.tree.leaves(s2.nf_params)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-6)
+
+
+def test_get_mesh_raises_on_insufficient_devices():
+    """get_mesh must raise, not silently truncate, when asked for more
+    devices than are visible (VERDICT r1 weak #1)."""
+    import pytest
+
+    from confild_tpu.parallel import mesh as pmesh
+
+    n = len(jax.devices())
+    with pytest.raises(ValueError, match="device mesh"):
+        pmesh.get_mesh(n + 1)
