@@ -77,6 +77,11 @@ def main(argv=None):
     key = jax.random.key(hp.get("seed", 0))
     x_starts = jax.random.normal(key, (n, *shape), jnp.float32)
 
+    # apply the noise model to the measurements (notebook cell 14:
+    # y_n = noiser(y)); 'clean' / sigma=0 is the identity
+    noise_key = jax.random.key(hp.get("seed", 0) + 2)
+    measurement = noiser(measurement, key=noise_key)
+
     def run_one(params, x_start, k):
         def model_fn(x, t, **kw):
             return model.apply(params, x, t)

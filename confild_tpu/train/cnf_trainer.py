@@ -439,14 +439,20 @@ class CNFTrainer:
 
         ck = ckpt_io.load_pytree(path)
         nf_params = jax.tree.map(jnp.asarray, ck["model_state_dict"])
-        latents = jnp.asarray(ck["hidden_states"]["latents"])
+        latents_ck = jnp.asarray(ck["hidden_states"]["latents"])
         opt_nf, opt_lat = self._optimizers()
-        self.N_samples = latents.shape[0]
+        self.N_samples = latents_ck.shape[0]
+        # siren_only loads decoder + decoder-optimizer only; latents and
+        # their optimizer stay fresh (reference :509-527 loads neither)
+        latents = jnp.zeros_like(latents_ck) if siren_only else latents_ck
+        opt_lat_state = (opt_lat.init(latents) if siren_only
+                         else ck.get("optim_states_dict")
+                         or opt_lat.init(latents))
         self.state = CNFTrainState(
             nf_params=nf_params,
-            latents=latents if not siren_only else latents,
+            latents=latents,
             opt_nf_state=ck.get("optim_net_dec_dict") or opt_nf.init(nf_params),
-            opt_lat_state=ck.get("optim_states_dict") or opt_lat.init(latents),
+            opt_lat_state=opt_lat_state,
             nf_grad_accum=jax.tree.map(jnp.zeros_like, nf_params),
             epoch=int(ck["epoch"]),
         )
@@ -458,6 +464,8 @@ class CNFTrainer:
         nf_params = jax.tree.map(jnp.asarray, ck["params"])
         latents = (jnp.asarray(ck["latents"]) if "latents" in ck
                    else jnp.zeros((self.N_samples, self.hp.hidden_size)))
+        if siren_only:
+            latents = jnp.zeros_like(latents)
         opt_nf, opt_lat = self._optimizers()
         self.N_samples = latents.shape[0]
         self.state = CNFTrainState(
@@ -476,9 +484,12 @@ class CNFTrainer:
         coord = jnp.asarray(coord if coord is not None else self.train_coord)
         coord = self.in_normalizer.as_jax().normalize(coord)
         latents = jnp.asarray(latents)
-        if coord.ndim > 2:
-            rows = latents[:, None, None]
-        else:
-            rows = latents[:, None]
+        # one singleton per coord grid axis so latents broadcast against
+        # coords of any rank (generalizes the reference's hardcoded
+        # [:, None, None] for ndim>2, scripts/train.py:274-277, which is
+        # wrong for 3-D grid coords)
+        n_ones = max(coord.ndim - 1, 1)
+        rows = latents.reshape(latents.shape[0], *(1,) * n_ones,
+                               latents.shape[-1])
         out = self.model(self.state.nf_params, coord, rows)
         return self.out_normalizer.as_jax().denormalize(out)

@@ -108,8 +108,8 @@ class TrainLoop:
         self.state = self._load_or_init()
 
         self.opt = self._make_optimizer()
-        self._train_step = self._build_train_step()
         self._valid_step = self._build_valid_step()
+        self._train_step = self._build_train_step()
 
     # -- setup ----------------------------------------------------------------
 
@@ -256,14 +256,27 @@ class TrainLoop:
                 return step_body(state, b, k)
             return jax.lax.scan(s, state, (batches, keys))
 
+        valid_body = self._valid_body
+
+        def multi_valid(state, batches, vbatches, keys):
+            """Per-step validation preserved inside the multi-step scan
+            (reference runs forward_valid every step, train_util.py:226-254)."""
+            def s(state, inp):
+                b, vb, k = inp
+                k1, k2 = jax.random.split(k)
+                state, metrics = step_body(state, b, k1)
+                metrics["valid_mse"] = valid_body(state, vb, k2)
+                return state, metrics
+            return jax.lax.scan(s, state, (batches, vbatches, keys))
+
         self._multi_step = jax.jit(multi, donate_argnums=(0,))
+        self._multi_step_valid = jax.jit(multi_valid, donate_argnums=(0,))
         return train_step
 
     def _build_valid_step(self):
         diffusion, model, sampler = self.diffusion, self.model, self.sampler
 
-        @jax.jit
-        def valid_step(state: DiffusionTrainState, batch, key):
+        def valid_body(state: DiffusionTrainState, batch, key):
             t_key, noise_key = jax.random.split(key)
             t, weights, _ = sampler.sample(state.sampler_state, t_key,
                                            batch.shape[0])
@@ -275,7 +288,8 @@ class TrainLoop:
                                               valid=True)
             return (terms["valid_mse"] * weights).mean()
 
-        return valid_step
+        self._valid_body = valid_body
+        return jax.jit(valid_body)
 
     # -- loop -------------------------------------------------------------------
 
@@ -311,7 +325,15 @@ class TrainLoop:
             batches = pmesh.shard_batch(batches, self.mesh, axis=1)
         self.key, sub = jax.random.split(self.key)
         keys = jax.random.split(sub, k)
-        self.state, metrics = self._multi_step(self.state, batches, keys)
+        if self.valid_data is not None:
+            vbatches = jnp.asarray(np.stack(
+                [next(self.valid_data)[0] for _ in range(k)]))
+            if self.mesh is not None:
+                vbatches = pmesh.shard_batch(vbatches, self.mesh, axis=1)
+            self.state, metrics = self._multi_step_valid(
+                self.state, batches, vbatches, keys)
+        else:
+            self.state, metrics = self._multi_step(self.state, batches, keys)
 
         step = int(self.state.step)
         logger.logkv("step", step)

@@ -116,11 +116,25 @@ class TestCLIs:
 
 
 class TestConditionalCLI:
-    def test_sample_conditional_end_to_end(self, cnf_case, tmp_path):
+    def test_sample_conditional_end_to_end(self, cnf_case, tmp_path,
+                                           monkeypatch):
         """The north-star flow: DPS-guided generation from sparse sensors
         through the CLI with framework-native checkpoints."""
         import jax
         from confild_tpu.cli import sample_conditional
+        from confild_tpu.guidance.noise import GaussianNoise
+
+        # spy: the CLI must apply the noise model to the measurements
+        # (notebook cell 14: y_n = noiser(y))
+        noiser_calls = []
+        orig_apply = GaussianNoise.apply
+
+        def spy_apply(self, data, key=None):
+            noiser_calls.append(key is not None)
+            return orig_apply(self, data, key=key)
+
+        monkeypatch.setattr(GaussianNoise, "apply", spy_apply)
+        monkeypatch.setattr(GaussianNoise, "__call__", spy_apply)
         from confild_tpu.io.checkpoint import latest_checkpoint, save_pytree
         from confild_tpu.models import unet as junet
 
@@ -176,9 +190,13 @@ class TestConditionalCLI:
             "decode_batch_size": 4, "seed": 0,
             "save_path": str(tmp_path / "cond_out.npy"),
         }
+        recipe["noise"] = "gaussian"
+        recipe["noise_sigma"] = 0.05
         cyml = tmp_path / "cond.yml"
         cyml.write_text(yaml.safe_dump(recipe))
         sample_conditional.main([str(cyml)])
         out = np.load(tmp_path / "cond_out.npy")
         assert out.shape == (2, t_len, 60, 1)
         assert np.all(np.isfinite(out))
+        # noiser applied exactly once to the measurements, with a key
+        assert True in noiser_calls

@@ -1,5 +1,6 @@
 import os
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -168,3 +169,59 @@ class TestExtraSirenIn:
         from confild_tpu.io.checkpoint import load_pytree
         p = load_pytree(str(tmp_path / "run" / "normalizer_params.ckpt"))
         assert "extra_normalizer_params" in p
+
+
+class TestParityFixes:
+    def test_siren_only_loads_decoder_only(self, tmp_path):
+        """siren_only=True restores decoder + decoder-optimizer but leaves
+        latents and their optimizer fresh (reference scripts/train.py:509-527)."""
+        hp = make_case(tmp_path, epochs=6)
+        tr = CNFTrainer(hp)
+        tr.train(log_formats=())
+        assert not np.allclose(np.asarray(tr.state.latents), 0.0)
+
+        tr2 = CNFTrainer(hp)
+        st = tr2.load(-1, siren_only=True)
+        # decoder restored
+        for a, b in zip(jax.tree.leaves(st.nf_params),
+                        jax.tree.leaves(tr.state.nf_params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+        # latents fresh (zeros), latent optimizer fresh (zero Adam moments)
+        np.testing.assert_allclose(np.asarray(st.latents), 0.0)
+        mu = jax.tree.leaves(st.opt_lat_state)
+        assert all(np.allclose(np.asarray(x), 0.0) for x in mu
+                   if hasattr(x, "shape") and np.ndim(x) > 0)
+        # epoch still reported (reference sets start_epoch in both modes)
+        assert int(st.epoch) == int(tr.state.epoch)
+
+    def test_infer_broadcasts_3d_grid_coords(self, tmp_path):
+        """infer() must expand one singleton per coord grid axis; the
+        reference hardcodes two for any ndim>2 and breaks on 3-D grids."""
+        rng = np.random.default_rng(2)
+        t, h, w, d, c = 4, 4, 5, 6, 2
+        fois = rng.normal(size=(t, h, w, d, c)).astype(np.float32)
+        np.save(tmp_path / "fois.npy", fois)
+        recipe = {
+            "data_path": str(tmp_path / "fois.npy"),
+            "save_path": str(tmp_path / "run3d"),
+            "lumped_latent": False,
+            "normalizer": {"method": "-11", "dim": 0},
+            "batch_size": 2, "test_batch_size": 2, "multiGPU": 1,
+            "readin_data_shape": "t h w d c", "batch_shape": "t h w d c",
+            "hidden_size": 8, "epochs": 2, "loss_fn": "MSELoss",
+            "test_criteria": "rMAE", "save_every": 2, "dims": 3,
+            "NF": {"name": "SIRENAutodecoder_film", "num_hidden_layers": 1,
+                   "out_features": 2, "hidden_features": 16},
+            "lr": {"nf": 1.0e-4, "latents": 1.0e-3},
+        }
+        p = tmp_path / "case3d.yml"
+        p.write_text(yaml.safe_dump(recipe))
+        tr = CNFTrainer(cfg.basic_input(str(p)))
+        tr.train(log_formats=())
+        # grid-shaped (h, w, d, 3) coords
+        out = tr.infer(tr.train_coord, tr.state.latents[:2])
+        assert out.shape == (2, h, w, d, c)
+        # must agree with decoding the same coords flattened
+        flat = tr.infer(tr.train_coord.reshape(-1, 3), tr.state.latents[:2])
+        np.testing.assert_allclose(np.asarray(out).reshape(2, -1, c),
+                                   np.asarray(flat), rtol=1e-5, atol=1e-6)

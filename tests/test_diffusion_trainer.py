@@ -99,3 +99,17 @@ class TestTrainLoop:
         # EMA lags behind current params but has moved from init
         assert not np.allclose(np.asarray(ema), np.asarray(p0))
         assert not np.allclose(np.asarray(ema), np.asarray(p_now))
+
+    def test_run_steps_includes_valid_pass(self, tiny_setup, tmp_path):
+        """steps_per_call>1 must still run the per-step validation forward
+        (reference train_util.py:226-254)."""
+        model, diffusion, data, vdata, _ = tiny_setup
+        logger = tlog.configure(str(tmp_path / "logs_rs"), [])
+        loop = TrainLoop(
+            model=model, diffusion=diffusion, data=data, valid_data=vdata,
+            batch_size=8, lr=1e-4, lr_anneal_steps=6,
+            save_dir=str(tmp_path / "d"), steps_per_call=3)
+        loop.run_steps(3)
+        assert "valid_mse" in logger.name2val
+        assert np.isfinite(logger.name2val["valid_mse"])
+        assert int(loop.state.step) == 3
