@@ -29,6 +29,14 @@ def _to_host(tree: Any) -> Any:
 
 
 def save_pytree(path: str, tree: Any) -> None:
+    """Process-aware save: single-process writes a pickled numpy pytree;
+    multi-process delegates to Orbax, where each host writes only its
+    addressable shards (replacing the reference's rank-0 blobfile write +
+    barrier, ``train_util.py:272-295``).  Every process must call this
+    (the Orbax save is collective)."""
+    if jax.process_count() > 1:
+        save_sharded(path, tree)
+        return
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
@@ -36,7 +44,12 @@ def save_pytree(path: str, tree: Any) -> None:
     os.replace(tmp, path)
 
 
-def load_pytree(path: str) -> Any:
+def load_pytree(path: str, template: Any | None = None) -> Any:
+    """Load either backend: Orbax checkpoints are directories, pickles are
+    files.  ``template`` (pytree of arrays/ShapeDtypeStructs with shardings)
+    places restored shards directly on devices."""
+    if os.path.isdir(path):
+        return restore_sharded(path, template)
     with open(path, "rb") as f:
         return pickle.load(f)
 

@@ -14,6 +14,7 @@ from __future__ import annotations
 from typing import Any, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -23,7 +24,9 @@ DATA_AXIS = "data"
 def initialize_distributed(**kwargs) -> None:
     """Multi-host bootstrap (replaces ``dist_util.setup_dist``).  No-op on a
     single host; on a TPU pod slice JAX discovers peers from the environment."""
-    if jax.process_count() > 1 or kwargs:
+    # check kwargs first: jax.process_count() would initialize the backend,
+    # and jax.distributed.initialize must run before any backend touch
+    if kwargs or jax.process_count() > 1:
         jax.distributed.initialize(**kwargs)
 
 
@@ -60,16 +63,37 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _global_put(x, sharding: NamedSharding):
+    """Place a host value (or a process-local array every host holds in
+    full) under a global sharding.  Committed device arrays are staged
+    through host numpy first — a direct device_put of a single-device array
+    to a multi-host sharding is a cross-host transfer, which DCN-less
+    backends reject."""
+    if isinstance(x, jax.Array):
+        if x.sharding == sharding:
+            return x
+        if jax.process_count() > 1 and x.is_fully_addressable:
+            if jnp.issubdtype(x.dtype, jax.dtypes.prng_key):
+                data = jax.device_put(np.asarray(jax.random.key_data(x)),
+                                      sharding)
+                return jax.random.wrap_key_data(data,
+                                                impl=jax.random.key_impl(x))
+            x = np.asarray(x)
+    return jax.device_put(x, sharding)
+
+
 def shard_batch(batch: Any, mesh: Mesh, axis: int = 0) -> Any:
-    """Device-put every leaf with its leading dim sharded over the mesh."""
+    """Device-put every leaf with its leading dim sharded over the mesh.
+    In a multi-process run every process must pass the same global batch;
+    each host materializes only its addressable shards."""
     def put(x):
-        return jax.device_put(x, data_sharding(mesh, np.ndim(x), axis))
+        return _global_put(x, data_sharding(mesh, np.ndim(x), axis))
     return jax.tree.map(put, batch)
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:
     sharding = replicated(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+    return jax.tree.map(lambda x: _global_put(x, sharding), tree)
 
 
 def pad_to_multiple(n: int, k: int) -> int:

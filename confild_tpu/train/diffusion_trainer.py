@@ -121,14 +121,19 @@ class TrainLoop:
         return optax.adamw(sched, weight_decay=self.weight_decay)
 
     def _load_or_init(self) -> DiffusionTrainState:
+        # Orbax (multi-process) checkpoints need a structure template —
+        # NamedTuple optimizer states serialize as plain dicts otherwise
+        init_params = self.model.init(self.key)
         if self.resume_checkpoint:
             self.resume_step = ckpt_io.parse_resume_step(self.resume_checkpoint)
-            params = jax.tree.map(jnp.asarray,
-                                  ckpt_io.load_pytree(self.resume_checkpoint))
+            template = (init_params
+                        if os.path.isdir(self.resume_checkpoint) else None)
+            params = jax.tree.map(jnp.asarray, ckpt_io.load_pytree(
+                self.resume_checkpoint, template))
             tlog.log(f"loading model from checkpoint: "
                      f"{self.resume_checkpoint} at step {self.resume_step}")
         else:
-            params = self.model.init(self.key)
+            params = init_params
 
         opt = self._make_optimizer()
         opt_state = opt.init(params)
@@ -136,8 +141,9 @@ class TrainLoop:
             opt_path = os.path.join(os.path.dirname(self.resume_checkpoint),
                                     f"opt{self.resume_step:06d}.ckpt")
             if os.path.exists(opt_path):
-                opt_state = jax.tree.map(jnp.asarray,
-                                         ckpt_io.load_pytree(opt_path))
+                template = opt_state if os.path.isdir(opt_path) else None
+                opt_state = jax.tree.map(jnp.asarray, ckpt_io.load_pytree(
+                    opt_path, template))
 
         ema_params = []
         for rate in self.ema_rate:
@@ -145,7 +151,9 @@ class TrainLoop:
             path = ckpt_io.find_ema_checkpoint(
                 self.resume_checkpoint or None, self.resume_step, str(rate))
             if path:
-                ema = jax.tree.map(jnp.asarray, ckpt_io.load_pytree(path))
+                template = init_params if os.path.isdir(path) else None
+                ema = jax.tree.map(jnp.asarray,
+                                   ckpt_io.load_pytree(path, template))
                 tlog.log(f"loading EMA from checkpoint: {path}")
             # materialize a distinct buffer: EMA starts equal to params and
             # the donated train step must not see aliased leaves

@@ -198,15 +198,31 @@ class Logger:
             self.name2val[key] = self.name2val.get(key, 0) + time.time() - start
 
 
+def _process_index() -> int:
+    try:
+        import jax
+        return jax.process_index()
+    except Exception:
+        return 0
+
+
 def configure(dir: str | None = None,
               format_strs: list[str] | None = None,
               log_suffix: str = "") -> Logger:
     """Configure the global logger (env vars ``OPENAI_LOGDIR`` /
-    ``OPENAI_LOG_FORMAT`` honored for reference parity)."""
+    ``OPENAI_LOG_FORMAT`` honored for reference parity).
+
+    Multi-process: non-zero processes get a ``-rank{i}`` file suffix and a
+    reduced format set (reference ``logger.py:481-489`` rank behavior)."""
     if dir is None:
         dir = os.environ.get("OPENAI_LOGDIR") or os.path.join(
             "/tmp", f"confild-{time.strftime('%Y%m%d-%H%M%S')}")
-    if format_strs is None:
+    rank = _process_index()
+    if rank > 0:
+        log_suffix = f"{log_suffix}-rank{rank:03d}"
+        format_strs = os.environ.get(
+            "OPENAI_LOG_FORMAT_MPI", "log").split(",")
+    elif format_strs is None:
         format_strs = os.environ.get(
             "OPENAI_LOG_FORMAT", "stdout,log,csv").split(",")
     output_formats = [make_output_format(f, dir, log_suffix)
