@@ -25,7 +25,9 @@ import numpy as np
 
 
 def _to_host(tree: Any) -> Any:
-    return jax.tree.map(lambda x: np.asarray(x), tree)
+    # device_get batches the whole tree into one transfer (per-leaf
+    # np.asarray costs a host round-trip each — seconds over a TPU tunnel)
+    return jax.tree.map(lambda x: np.asarray(x), jax.device_get(tree))
 
 
 def save_pytree(path: str, tree: Any) -> None:

@@ -250,25 +250,18 @@ def _fwd(params, coords, latents, w0, tile_t, tile_m, interpret, compute_dtype):
 BWD_CHUNK = 4096
 
 
-def _bwd(w0, tile_t, tile_m, interpret, compute_dtype, residuals, g):
-    params, coords, latents = residuals
+def _dcoords_chunked(params, coords, latents, g, w0):
+    """dL/dcoords via chunked jnp rematerialization.  Kept separate so XLA
+    dead-code-eliminates it when the caller never consumes dcoords (true in
+    CNF training and DPS — nothing differentiates query points)."""
     m = coords.shape[0]
 
-    # dlatents: the DPS-critical cotangent — fully fused Pallas backward
-    # (activation recompute stays in VMEM, see fused_siren_decode_dz below)
-    dz = fused_siren_decode_dz(params, coords, latents, g, w0,
-                               interpret=interpret)
-
-    # dparams / dcoords: chunked jnp rematerialization.  These subgraphs are
-    # dead-code-eliminated by XLA when the caller only consumes dlatents
-    # (the DPS case); CNF training uses the plain jnp apply, not this op.
-    def ref(params, c_chunk, latents):
+    def ref(c_chunk):
         return _reference_decode(params, c_chunk, latents, w0)
 
     if m <= BWD_CHUNK:
-        _, vjp = jax.vjp(ref, params, coords, latents)
-        dp, dcoords, _ = vjp(g)
-        return dp, dcoords, dz
+        _, vjp = jax.vjp(ref, coords)
+        return vjp(g)[0]
 
     coords_p = _pad_to(coords, 0, BWD_CHUNK)
     g_p = _pad_to(g, 1, BWD_CHUNK)  # padded g rows are zero -> no grad leak
@@ -277,15 +270,22 @@ def _bwd(w0, tile_t, tile_m, interpret, compute_dtype, residuals, g):
     g_chunks = jnp.moveaxis(
         g_p.reshape(g.shape[0], n_chunks, BWD_CHUNK, g.shape[-1]), 1, 0)
 
-    def body(dp_acc, inp):
+    def body(_, inp):
         c_chunk, g_chunk = inp
-        _, vjp = jax.vjp(ref, params, c_chunk, latents)
-        dp, dc, _ = vjp(g_chunk)
-        return jax.tree.map(jnp.add, dp_acc, dp), dc
+        _, vjp = jax.vjp(ref, c_chunk)
+        return None, vjp(g_chunk)[0]
 
-    zeros = jax.tree.map(jnp.zeros_like, params)
-    dp, dcs = jax.lax.scan(body, zeros, (c_chunks, g_chunks))
-    dcoords = dcs.reshape(-1, coords.shape[-1])[:m]
+    _, dcs = jax.lax.scan(body, None, (c_chunks, g_chunks))
+    return dcs.reshape(-1, coords.shape[-1])[:m]
+
+
+def _bwd(w0, tile_t, tile_m, interpret, compute_dtype, residuals, g):
+    params, coords, latents = residuals
+    # dparams + dlatents: one fused Pallas pass (activation recompute stays
+    # in VMEM, see fused_siren_decode_bwd below)
+    dp, dz = fused_siren_decode_bwd(params, coords, latents, g, w0,
+                                    interpret=interpret)
+    dcoords = _dcoords_chunked(params, coords, latents, g, w0)
     return dp, dcoords, dz
 
 
@@ -425,6 +425,223 @@ def fused_siren_decode_dz(params, coords, latents, g, w0: float = 30.0,
     dz = dz_scaled[:, :t, :] * scale
     return jnp.einsum("nth,nlh->tl", dz, w2,
                       preferred_element_type=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# full fused backward (dW + db + dZ): the CNF-training cotangents
+# ---------------------------------------------------------------------------
+
+def _decode_bwd_kernel(coords_ref, z_ref, g_ref, w_first_ref, w_mid_ref,
+                       w_head_ref, dz_ref, dwf_ref, dwm_ref, dwh_ref,
+                       acts_ref, dx_ref, *, n_layers: int, tile_t: int,
+                       tile_m: int):
+    """Grid (T_tiles, M_tiles): recompute pre-activations in VMEM, then walk
+    backward producing per-layer weight-gradient blocks accumulated across the
+    whole grid (constant output index => the accumulators never leave VMEM)
+    plus the dZ block per t-tile.  Backward cost ~2x forward FLOPs (one extra
+    x^T.dpre matmul per layer), all on the MXU."""
+    ti = pl.program_id(0)
+    mi = pl.program_id(1)
+    h = acts_ref.shape[-1]
+    flat = tile_t * tile_m
+
+    @pl.when(mi == 0)
+    def _init_dz():
+        dz_ref[...] = jnp.zeros_like(dz_ref)
+
+    @pl.when(jnp.logical_and(ti == 0, mi == 0))
+    def _init_dw():
+        dwf_ref[...] = jnp.zeros_like(dwf_ref)
+        dwm_ref[...] = jnp.zeros_like(dwm_ref)
+        dwh_ref[...] = jnp.zeros_like(dwh_ref)
+
+    def mxu(a, b):
+        return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+    # ---- forward recompute, storing pre-activations r_l ("in turns") ----
+    pre = mxu(coords_ref[...], w_first_ref[...])
+    r = pre[None, :, :] + z_ref[0][:, None, :]            # (TT, TM, H)
+    acts_ref[0] = r.reshape(flat, h)
+    x = _sin2pi(r).reshape(flat, h)
+    for l in range(1, n_layers):
+        pre = mxu(x, w_mid_ref[l - 1])
+        r = pre.reshape(tile_t, tile_m, h) + z_ref[l][:, None, :]
+        acts_ref[l] = r.reshape(flat, h)
+        x = _sin2pi(r).reshape(flat, h)
+
+    # ---- backward ----
+    g = g_ref[...].reshape(flat, g_ref.shape[-1])
+    dwh_ref[...] += mxu(x.T, g)
+    dx_ref[...] = mxu(g, w_head_ref[...].T)
+    for l in range(n_layers - 1, -1, -1):
+        dpre = dx_ref[...] * _cos2pi_scaled(acts_ref[l])  # (flat, H)
+        dz_ref[l] += dpre.reshape(tile_t, tile_m, h).sum(axis=1)
+        if l > 0:
+            x_prev = _sin2pi(acts_ref[l - 1])
+            dwm_ref[l - 1] += mxu(x_prev.T, dpre)
+            dx_ref[...] = mxu(dpre, w_mid_ref[l - 1].T)
+        else:
+            # sum dpre over the latent tile, then one (C, TM)x(TM, H) matmul
+            dpre_m = dpre.reshape(tile_t, tile_m, h).sum(axis=0)
+            dwf_ref[...] += mxu(coords_ref[...].T, dpre_m)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("w0", "tile_t", "tile_m", "interpret"))
+def fused_siren_decode_bwd(params, coords, latents, g, w0: float = 30.0,
+                           tile_t: int = 8, tile_m: int = 128,
+                           interpret: bool | None = None):
+    """All training cotangents of ``fused_siren_decode`` in one fused Pallas
+    pass: returns ``(dparams, dlatents)``.  Like the dZ kernel, activations
+    are recomputed tile-wise in VMEM, so no (T*M*H) tensor touches HBM; the
+    weight-gradient accumulators live in VMEM for the whole kernel."""
+    if interpret is None:
+        interpret = _interpret_default()
+    w_first, w_mid, w_head, b_head, w2, b1 = _stack_params(params)
+    n_mod = w2.shape[0]
+    h = w_first.shape[-1]
+    c_in = coords.shape[-1]
+    c_out = w_head.shape[-1]
+    t, m = latents.shape[0], coords.shape[0]
+
+    scale = jnp.float32(w0 / (2.0 * np.pi))
+    z = (jnp.einsum("tl,nlh->nth", latents, w2,
+                    preferred_element_type=jnp.float32)
+         + b1[:, None, :]) * scale
+    w_first_s = w_first * scale
+    w_mid_s = w_mid * scale
+
+    if tile_t % 8 != 0 and t > tile_t:
+        tile_t = -(-tile_t // 8) * 8
+    coords_p = _pad_to(coords, 0, tile_m)
+    z_p = _pad_to(z, 1, tile_t)
+    g_p = _pad_to(_pad_to(g, 0, tile_t), 1, tile_m)
+    tp, mp = z_p.shape[1], coords_p.shape[0]
+    n_mid = w_mid.shape[0]
+
+    grid = (tp // tile_t, mp // tile_m)
+    dz_scaled, dwf, dwm, dwh = pl.pallas_call(
+        functools.partial(_decode_bwd_kernel, n_layers=n_mod,
+                          tile_t=tile_t, tile_m=tile_m),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_m, c_in),
+                         lambda ti, mi: (mi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_mod, tile_t, h),
+                         lambda ti, mi: (0, ti, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_t, tile_m, c_out),
+                         lambda ti, mi: (ti, mi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_in, h),
+                         lambda ti, mi: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((max(n_mid, 1), h, h),
+                         lambda ti, mi: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, c_out),
+                         lambda ti, mi: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((n_mod, tile_t, h),
+                         lambda ti, mi: (0, ti, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_in, h),
+                         lambda ti, mi: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((max(n_mid, 1), h, h),
+                         lambda ti, mi: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, c_out),
+                         lambda ti, mi: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_mod, tp, h), jnp.float32),
+            jax.ShapeDtypeStruct((c_in, h), jnp.float32),
+            jax.ShapeDtypeStruct((max(n_mid, 1), h, h), jnp.float32),
+            jax.ShapeDtypeStruct((h, c_out), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n_mod, tile_t * tile_m, h), jnp.float32),
+            pltpu.VMEM((tile_t * tile_m, h), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * tp * mp * h * (h * n_mod + c_in + c_out),
+            bytes_accessed=tp * mp * (c_in + 2 * c_out) * 4
+            + (tp // tile_t) * (mp // tile_m) * (2 * n_mod * h * h) * 4,
+            transcendentals=2 * tp * mp * h * n_mod,
+        ),
+    )(coords_p, z_p, g_p, w_first_s, w_mid_s, w_head)
+
+    # unscale and slice away t padding
+    dz = dz_scaled[:, :t, :] * scale            # (n_mod, T, H), d/d(z_l)
+    dwf = dwf * scale
+    dwm = dwm * scale
+
+    # chain through the FiLM projections z_l = latents @ W2_l + b1_l
+    dlatents = jnp.einsum("nth,nlh->tl", dz, w2,
+                          preferred_element_type=jnp.float32)
+    dw2 = jnp.einsum("tl,nth->nlh", latents, dz,
+                     preferred_element_type=jnp.float32)
+    db1 = dz.sum(axis=1)                        # (n_mod, H)
+
+    # assemble a cotangent pytree mirroring the param structure
+    dnet1 = []
+    for l in range(n_mod):
+        d = {"kernel": dwf if l == 0 else dwm[l - 1]}
+        if "bias" in params["net1"][l]:
+            d["bias"] = db1[l]
+        dnet1.append(d)
+    head = {"kernel": dwh}
+    if "bias" in params["net1"][-1]:
+        head["bias"] = g.sum(axis=(0, 1))
+    dnet1.append(head)
+    dnet2 = []
+    for l in range(n_mod):
+        d = {"kernel": dw2[l]}
+        if "bias" in params["net2"][l]:
+            # the fused forward treats net2 as bias-free (reference film
+            # semantics); a structural bias leaf gets a zero cotangent
+            d["bias"] = jnp.zeros_like(params["net2"][l]["bias"])
+        dnet2.append(d)
+    dp = {"net1": dnet1, "net2": dnet2}
+    # match the container types of the param pytree (list vs tuple matters
+    # for custom_vjp cotangent structure)
+    dp["net1"] = type(params["net1"])(dnet1)
+    dp["net2"] = type(params["net2"])(dnet2)
+    return dp, dlatents
+
+
+# ---------------------------------------------------------------------------
+# training variant: params + latents differentiable, coords are frozen query
+# points.  The general op's dcoords chunked-remat scan is NOT reliably
+# dead-code-eliminated by XLA (DCE does not cross lax.scan), so the trainer
+# calls this op where the coords cotangent is structurally zero.
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def fused_siren_decode_train(params, coords, latents, w0: float = 30.0,
+                             tile_t: int = DEFAULT_TILE_T,
+                             tile_m: int = DEFAULT_TILE_M,
+                             interpret: bool | None = None,
+                             compute_dtype=jnp.float32):
+    if interpret is None:
+        interpret = _interpret_default()
+    return _fused_forward(params, coords, latents, w0, tile_t, tile_m,
+                          interpret, compute_dtype)
+
+
+def _train_fwd(params, coords, latents, w0, tile_t, tile_m, interpret,
+               compute_dtype):
+    out = fused_siren_decode_train(params, coords, latents, w0, tile_t,
+                                   tile_m, interpret, compute_dtype)
+    return out, (params, coords, latents)
+
+
+def _train_bwd(w0, tile_t, tile_m, interpret, compute_dtype, residuals, g):
+    params, coords, latents = residuals
+    dp, dz = fused_siren_decode_bwd(params, coords, latents, g, w0,
+                                    interpret=interpret)
+    return dp, jnp.zeros_like(coords), dz
+
+
+fused_siren_decode_train.defvjp(_train_fwd, _train_bwd)
 
 
 # ---------------------------------------------------------------------------

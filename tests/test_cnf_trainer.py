@@ -10,7 +10,7 @@ from confild_tpu import config as cfg
 from confild_tpu.train.cnf_trainer import CNFTrainer, rMAE
 
 
-def make_case(tmp_path, lumped=True, epochs=12):
+def make_case(tmp_path, lumped=True, epochs=12, **extra):
     """Tiny synthetic elbow-like case: 16 snapshots x 120 points x 2 channels."""
     rng = np.random.default_rng(0)
     t, n, c = 16, 120, 2
@@ -42,6 +42,7 @@ def make_case(tmp_path, lumped=True, epochs=12):
                "out_features": 2, "hidden_features": 32},
         "lr": {"nf": 1.0e-4, "latents": 1.0e-3},
     }
+    recipe.update(extra)
     path = tmp_path / "case.yml"
     path.write_text(yaml.safe_dump(recipe))
     return cfg.basic_input(str(path))
@@ -225,3 +226,28 @@ class TestParityFixes:
         flat = tr.infer(tr.train_coord.reshape(-1, 3), tr.state.latents[:2])
         np.testing.assert_allclose(np.asarray(out).reshape(2, -1, c),
                                    np.asarray(flat), rtol=1e-5, atol=1e-6)
+
+
+class TestFusedTrainingPath:
+    def test_fused_matches_jnp_training(self, tmp_path):
+        """Training through the fused Pallas decode must reproduce the jnp
+        path (same init, same permutations) up to f32 kernel-math noise."""
+        (tmp_path / "a").mkdir()
+        (tmp_path / "b").mkdir()
+        hp1 = make_case(tmp_path / "a", epochs=4)
+        hp2 = make_case(tmp_path / "b", epochs=4, use_fused_decode=False)
+
+        tr1 = CNFTrainer(hp1)
+        assert tr1.use_fused_decode
+        tr2 = CNFTrainer(hp2)
+        assert not tr2.use_fused_decode
+        tr1.train(log_formats=())
+        tr2.train(log_formats=())
+
+        np.testing.assert_allclose(np.asarray(tr1.state.latents),
+                                   np.asarray(tr2.state.latents),
+                                   rtol=5e-3, atol=1e-5)
+        for a, b in zip(jax.tree.leaves(tr1.state.nf_params),
+                        jax.tree.leaves(tr2.state.nf_params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-3, atol=1e-5)
