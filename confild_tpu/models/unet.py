@@ -467,6 +467,7 @@ def create_model(
     use_bf16: bool = False,
     use_fp16: bool = False,   # accepted for recipe compat; means bf16 on TPU
     use_new_attention_order: bool = False,
+    use_flash_attention: bool | None = None,
 ) -> UNetModel:
     if channel_mult is None:
         if image_size not in _DEFAULT_CHANNEL_MULT:
@@ -479,6 +480,14 @@ def create_model(
 
     attention_ds = tuple(
         image_size // int(res) for res in str(attention_resolutions).split(","))
+
+    if use_flash_attention is None:
+        # auto: measured on TPU v5e, the Pallas blockwise kernel overtakes
+        # XLA's O(N^2) attention at ~9k tokens (1.1x at 9216/16384, below
+        # parity under 4096); its O(N) memory is what enables latent images
+        # beyond the reference's 384^2.  Threshold set from those numbers.
+        max_tokens = max((image_size // ds) ** dims for ds in attention_ds)
+        use_flash_attention = max_tokens >= 8192
 
     cfg = UNetConfig(
         image_size=image_size,
@@ -499,5 +508,6 @@ def create_model(
         use_new_attention_order=use_new_attention_order,
         torso_dtype=jnp.bfloat16 if (use_bf16 or use_fp16) else jnp.float32,
         use_checkpoint=use_checkpoint,
+        use_flash_attention=bool(use_flash_attention),
     )
     return UNetModel(cfg)
