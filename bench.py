@@ -2,7 +2,7 @@
 
 Prints ONE JSON line:
   {"metric": "case4_dps_denoise_steps_per_sec_per_chip", "value": N,
-   "unit": "steps/s", "vs_baseline": R}
+   "unit": "steps/s", "vs_baseline": R, ...}
 
 The workload is the reference's Case4 hot loop (BASELINE.md): a guided DDPM
 step on a (1, 1, 384, 384) latent image — ADM UNet (128ch, mult 1,1,2,2,4,4,
@@ -10,11 +10,30 @@ attn 32/16/8) forward + misfit VJP through the differentiable CNF decode
 (SIREN 15x384) at 10 random sensors.  1000 such steps = one conditional
 sample.
 
-``vs_baseline`` is the speedup over a naive translation of the reference's
-torch flow on the same chip: f32 torso and a separately-traced second UNet
-forward for the guidance gradient (what `condition_methods.py:28-44` does).
-Secondary metrics (CNF decode throughput, unconditional fwd rate) go to
-stderr.  The reference repo publishes no absolute numbers (BASELINE.md).
+``vs_baseline`` is the measured speedup over BASELINE.md's baseline: the
+PyTorch reference running the same math on one A100 (the paper's training/
+inference class; `BASELINE.md` "A100-class").  The reference publishes no
+timing numbers, so the anchor is a documented analytic estimate:
+
+    est_a100_step_s = step_FLOPs / (A100_TF32_peak * assumed_utilization)
+
+  * step_FLOPs — XLA cost analysis of OUR single guided step lowered without
+    Pallas kernels (pure-XLA twin), so every matmul/conv/attention FLOP is
+    counted.  The reference step does the same math with strictly MORE work
+    (`condition_methods.py:28-44` keeps a second autograd graph alive and
+    `measurements.py:222-226` decodes all 384 latent rows where the misfit
+    needs only the sensor rows), so this undercounts the reference — the
+    ratio is conservative.
+  * A100_TF32_peak = 156 TFLOP/s (dense; torch matmuls/convs run TF32 on
+    A100 by default for fp32 models — the notebook model is fp32).
+  * assumed_utilization = 0.35 — generous for an eager-mode torch loop over
+    1000 steps with per-step graph construction; large-conv workloads on
+    A100 typically sustain 25-45% of TF32 peak end-to-end.
+
+Also reported (JSON + stderr): achieved TFLOP/s and model-FLOP utilization
+(MFU, vs this chip's bf16 peak) for the guided step and the fused Pallas CNF
+decode, and the speedup over a naive in-process JAX translation of the torch
+flow (f32 torso, double-traced guidance graph) as a secondary sanity ratio.
 """
 
 import json
@@ -30,6 +49,30 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+A100_TF32_PEAK_TFLOPS = 156.0
+A100_ASSUMED_UTIL = 0.35
+
+# bf16 peak TFLOP/s per chip by device kind (public TPU specs)
+_TPU_PEAK_TFLOPS = (
+    ("v6", 918.0),     # Trillium / v6e
+    ("v5p", 459.0),
+    ("v5 lite", 197.0),
+    ("v5litepod", 197.0),
+    ("v5e", 197.0),
+    ("v5", 459.0),
+    ("v4", 275.0),
+    ("v3", 123.0),
+    ("v2", 45.0),
+)
+
+
+def chip_peak_tflops() -> float | None:
+    kind = jax.devices()[0].device_kind.lower()
+    for key, peak in _TPU_PEAK_TFLOPS:
+        if key in kind:
+            return peak
+    return None
+
 
 def _bench(fn, *args, iters=5):
     out = fn(*args)
@@ -39,6 +82,18 @@ def _bench(fn, *args, iters=5):
         out = fn(*args)
     jax.block_until_ready(out)
     return (time.perf_counter() - t0) / iters
+
+
+def _flops(jitted, *args) -> float | None:
+    """Total FLOPs of a jitted fn from XLA cost analysis (None if opaque)."""
+    try:
+        cost = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost["flops"])
+    except Exception as exc:  # pragma: no cover - platform-dependent
+        log(f"cost analysis unavailable: {exc!r}")
+        return None
 
 
 def log(msg):
@@ -112,7 +167,46 @@ def main():
     log(f"DPS step (optimized, scan-amortized): {dt_fast*1e3:.1f} ms "
         f"-> {dt_fast*1000:.1f} s per 1000-step sample")
 
-    # --- naive baseline: f32 torso + double-traced guidance graph ---
+    # --- FLOP accounting: pure-XLA twin of ONE guided step, so the cost
+    # analysis sees every op (Pallas kernels are opaque custom-calls) ---
+    @jax.jit
+    def one_step_xla(params, cparams, img):
+        op = make_operator(cparams, use_pallas=False)
+        meth = get_conditioning_method("ps", op, get_noise("gaussian",
+                                                           sigma=0.0),
+                                       scale=1.0)
+        def model_fn(x, t, **kw):
+            return model.apply(params, x, t)
+        t = jnp.full((1,), scan_steps - 1, jnp.int32)
+        return sampler._one_step(model_fn, img, t, jax.random.key(0), y,
+                                 meth)[0]
+
+    step_flops = _flops(one_step_xla, params, cparams, img)
+    peak = chip_peak_tflops() if on_tpu else None
+    step_tflops = step_mfu = None
+    if step_flops:
+        step_tflops = step_flops / dt_fast / 1e12
+        log(f"guided step: {step_flops/1e12:.3f} TFLOP "
+            f"-> {step_tflops:.1f} TFLOP/s achieved"
+            + (f" = {step_tflops/peak*100:.1f}% of "
+               f"{jax.devices()[0].device_kind} bf16 peak ({peak} TFLOP/s)"
+               if peak else ""))
+        if peak:
+            step_mfu = step_tflops / peak
+
+    # --- baseline anchor: analytic A100 estimate (see module docstring) ---
+    vs_a100 = None
+    if step_flops:
+        est_a100_step = step_flops / (
+            A100_TF32_PEAK_TFLOPS * 1e12 * A100_ASSUMED_UTIL)
+        vs_a100 = est_a100_step / dt_fast
+        log(f"A100 torch-reference anchor: {step_flops/1e12:.3f} TFLOP / "
+            f"({A100_TF32_PEAK_TFLOPS} TFLOP/s TF32 x {A100_ASSUMED_UTIL}) "
+            f"= {est_a100_step*1e3:.1f} ms/step est. "
+            f"-> vs_baseline {vs_a100:.2f}x per chip")
+
+    # --- naive in-process sanity baseline: f32 torso + double-traced
+    # guidance graph (the reference's autograd structure) ---
     model32, params32 = make_model(bf16=False)
 
     @jax.jit
@@ -140,22 +234,50 @@ def main():
 
     dt_naive = _bench(run_naive, params32, cparams, img,
                       iters=max(steps_iters // 2, 1)) / scan_steps
-    log(f"DPS step (naive translation): {dt_naive*1e3:.1f} ms")
+    log(f"DPS step (naive JAX translation, same chip): {dt_naive*1e3:.1f} ms"
+        f" -> {dt_naive/dt_fast:.2f}x secondary ratio")
 
-    # --- secondary: CNF decode throughput ---
+    # --- secondary: CNF decode throughput + MFU ---
     n_rows, n_pts = (16, 262144) if on_tpu else (4, 4096)
     coords_big = jax.random.uniform(jax.random.key(3), (n_pts, 3))
     latents = jax.random.normal(jax.random.key(4), (n_rows, width)) * 0.1
     fused = jax.jit(lambda p, c, z: sd.fused_siren_decode(p, c, z))
     dt_dec = _bench(fused, cparams, coords_big, latents, iters=steps_iters)
-    log(f"CNF decode: {n_rows*n_pts/dt_dec/1e6:.1f} Mpts/s (fused kernel)")
+    # analytic decode FLOPs (Pallas kernel is opaque to cost analysis):
+    # per (row, point): coord in-proj 2*3*W, L hidden 2*W*W each, out-proj
+    # 2*W*out; latent FiLM projections amortize over points (excluded ->
+    # undercount, MFU is a floor)
+    out_f = 3
+    dec_flops = n_rows * n_pts * 2 * width * (3 + layers * width + out_f)
+    dec_tflops = dec_flops / dt_dec / 1e12
+    dec_mfu = dec_tflops / peak if peak else None
+    log(f"CNF decode: {n_rows*n_pts/dt_dec/1e6:.1f} Mpts/s (fused kernel), "
+        f"{dec_tflops:.1f} TFLOP/s"
+        + (f" = {dec_mfu*100:.1f}% of bf16 peak" if dec_mfu else ""))
 
-    print(json.dumps({
+    result = {
         "metric": "case4_dps_denoise_steps_per_sec_per_chip",
         "value": round(1.0 / dt_fast, 2),
         "unit": "steps/s",
-        "vs_baseline": round(dt_naive / dt_fast, 3),
-    }))
+        # speedup over the analytic A100 torch-reference anchor (BASELINE.md
+        # baseline); falls back to the in-process naive ratio if the cost
+        # analysis is unavailable on this backend
+        "vs_baseline": round(vs_a100 if vs_a100 else dt_naive / dt_fast, 3),
+        "vs_naive_jax": round(dt_naive / dt_fast, 3),
+        "step_tflops_achieved": round(step_tflops, 2) if step_tflops else None,
+        "step_mfu": round(step_mfu, 4) if step_mfu else None,
+        "decode_mpts_per_s": round(n_rows * n_pts / dt_dec / 1e6, 1),
+        "decode_tflops_achieved": round(dec_tflops, 2),
+        "decode_mfu": round(dec_mfu, 4) if dec_mfu else None,
+        "device_kind": jax.devices()[0].device_kind,
+        "baseline_anchor": {
+            "kind": "analytic_a100_estimate",
+            "a100_tf32_peak_tflops": A100_TF32_PEAK_TFLOPS,
+            "assumed_utilization": A100_ASSUMED_UTIL,
+            "step_flops": step_flops,
+        },
+    }
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -111,11 +111,12 @@ def main():
     out_dir = args.out or os.path.join(here, "demo_out")
     os.makedirs(out_dir, exist_ok=True)
 
-    n_traj, n_snap, grid = (4, 16, 32) if args.fast else (16, 64, 64)
+    n_traj, n_snap, grid = (4, 16, 32) if args.fast else (64, 64, 64)
     latent = 32 if args.fast else 64
-    cnf_epochs = 40 if args.fast else 2000
-    diff_steps = 30 if args.fast else 8000
-    sample_steps = 10 if args.fast else 250
+    cnf_epochs = 40 if args.fast else 2500
+    diff_steps = 30 if args.fast else 30000
+    sample_steps = 10 if args.fast else 500
+    n_gen = 8 if args.fast else 64
 
     t0 = time.time()
     print(f"[1/5] simulating {n_traj}x{n_snap} snapshots of 2-D turbulence "
@@ -137,7 +138,8 @@ def main():
         "save_path": os.path.join(out_dir, "cnf_run"),
         "lumped_latent": True,
         "normalizer": {"method": "-11", "dim": 0},
-        "batch_size": 64, "test_batch_size": 64, "multiGPU": 1,
+        "batch_size": 128 if not args.fast else 64,
+        "test_batch_size": 64, "multiGPU": 1,
         "readin_data_shape": "t N c", "batch_shape": "t N c",
         "hidden_size": latent, "epochs": cnf_epochs, "loss_fn": "MSELoss",
         "test_criteria": "rMAE", "save_every": max(cnf_epochs // 8, 1),
@@ -154,9 +156,17 @@ def main():
     tr.load(-1)
     tr.train(log_formats=())
 
-    recon = np.asarray(tr.infer(tr.train_coord, tr.state.latents[:n_snap]))
-    cnf_rmae = per_channel_rmae(recon, flat[:n_snap])
-    print(f"      CNF rMAE per channel: {cnf_rmae} ({time.time()-t0:.0f}s)")
+    n_eval = min(4 * n_snap, n_traj * n_snap)
+    recon = np.asarray(tr.infer(tr.train_coord, tr.state.latents[:n_eval]))
+    cnf_rmae = per_channel_rmae(recon, flat[:n_eval])
+    # CNF floor: spectra error of the *reconstruction* bounds what generated
+    # fields can achieve (decoder fidelity, independent of the diffusion fit)
+    recon_spec_err = spectra_relative_error(
+        recon.reshape(n_eval, grid, grid, 2)[..., 0].reshape(-1, grid),
+        flat[:n_eval].reshape(n_eval, grid, grid, 2)[..., 0].reshape(-1, grid),
+        axis=-1)
+    print(f"      CNF rMAE per channel: {cnf_rmae}, recon spectra err "
+          f"{recon_spec_err:.4f} ({time.time()-t0:.0f}s)")
 
     print("[3/5] stage 2: diffusion training on latent images ...")
     latents = np.asarray(tr.state.latents)              # (T*traj, latent)
@@ -170,15 +180,17 @@ def main():
         num_heads=4, num_head_channels=16, use_bf16=True)
     diffusion = create_gaussian_diffusion(steps=1000, noise_schedule="cosine")
 
+    diff_batch = min(16 if not args.fast else 8, n_traj)
+
     def data_iter():
         rng = np.random.default_rng(0)
         while True:
-            idx = rng.integers(0, n_traj, size=min(8, n_traj))
+            idx = rng.integers(0, n_traj, size=diff_batch)
             yield train[idx].astype(np.float32), {}
 
     tlog.configure(os.path.join(out_dir, "dlogs"), ["csv"])
     loop = TrainLoop(model=model, diffusion=diffusion, data=data_iter(),
-                     batch_size=min(8, n_traj), lr=1e-4, ema_rate="0.999",
+                     batch_size=diff_batch, lr=1e-4, ema_rate="0.999",
                      log_interval=200, save_interval=10 ** 9,
                      lr_anneal_steps=diff_steps,
                      steps_per_call=1 if args.fast else 25,
@@ -198,33 +210,43 @@ def main():
             return model.apply(params, x, t)
         return respaced.p_sample_loop(model_fn, (8, 1, n_snap, latent), key)
 
-    gen = np.asarray(sample(ema, jax.random.key(0)))[:, 0]  # (8, T, L)
+    gen_batches = []
+    for b in range(max(n_gen // 8, 1)):
+        gen_batches.append(np.asarray(sample(ema, jax.random.key(b)))[:, 0])
+    gen = np.concatenate(gen_batches)[:n_gen]        # (n_gen, T, L)
     gen_lat = unit_interval_to_minmax(gen, mx, mn)
     gen_fields = []
     for s in range(gen_lat.shape[0]):
         out = np.asarray(tr.infer(tr.train_coord, jnp.asarray(gen_lat[s])))
         gen_fields.append(out)
-    gen_fields = np.stack(gen_fields)  # (8, T, n*n, 2)
-    gen_grid = gen_fields.reshape(8, n_snap, grid, grid, 2)
+    gen_fields = np.stack(gen_fields)  # (n_gen, T, n*n, 2)
+    gen_grid = gen_fields.reshape(n_gen, n_snap, grid, grid, 2)
     print(f"      decoded {gen_grid.shape} ({time.time()-t0:.0f}s)")
 
     print("[5/5] physics metrics ...")
+    # spectra over both velocity components, full ensembles on both sides
     spec_err = spectra_relative_error(
-        gen_grid[..., 0].reshape(-1, grid), fields[..., 0].reshape(-1, grid),
+        np.concatenate([gen_grid[..., 0], gen_grid[..., 1]]).reshape(-1, grid),
+        np.concatenate([fields[..., 0], fields[..., 1]]).reshape(-1, grid),
         axis=-1)
-    tau_real = integral_timescale(fields[0, :, :, :, 0], 1.0)
-    tau_gen = integral_timescale(gen_grid[0, :, :, :, 0], 1.0)
+    # integral timescale averaged over every trajectory / generated sample
+    tau_real = float(np.mean([integral_timescale(fields[i, :, :, :, 0], 1.0)
+                              for i in range(n_traj)]))
+    tau_gen = float(np.mean([integral_timescale(gen_grid[i, :, :, :, 0], 1.0)
+                             for i in range(n_gen)]))
 
     metrics = {
         "cnf_rmae": [float(x) for x in cnf_rmae],
+        "cnf_recon_spectra_error": float(recon_spec_err),
         "spectra_relative_error": float(spec_err),
         "integral_timescale_real": float(tau_real),
         "integral_timescale_generated": float(tau_gen),
+        "timescale_ratio": float(tau_gen / tau_real),
         "wall_clock_s": round(time.time() - t0, 1),
         "config": {"n_traj": n_traj, "n_snap": n_snap, "grid": grid,
                    "latent": latent, "cnf_epochs": cnf_epochs,
                    "diff_steps": diff_steps, "sample_steps": sample_steps,
-                   "backend": jax.default_backend()},
+                   "n_gen": n_gen, "backend": jax.default_backend()},
     }
     path = os.path.join(here, "demo_metrics.json")
     with open(path, "w") as f:

@@ -114,6 +114,46 @@ class TestCLIs:
             "--output-dt", "0.1", "--field", "velocity"])
         assert np.isfinite(tau) and tau > 0
 
+    def test_integral_timescale_cli_plot(self, tmp_path):
+        rng = np.random.default_rng(1)
+        x = np.zeros((200, 4, 4), np.float32)
+        noise = rng.normal(size=(200, 4, 4))
+        for i in range(1, 200):
+            x[i] = 0.6 * x[i - 1] + noise[i]
+        np.save(tmp_path / "u.npy", x)
+        integral_timescale.main([
+            "--output-dir", str(tmp_path / "u.npy"),
+            "--output-dt", "0.1", "--field", "velocity", "--plot",
+            "--plot-dir", str(tmp_path)])
+        assert (tmp_path / "autocorrelation_detailed_velocity.png").exists()
+
+    def test_eval_cnf_spot_check(self, cnf_case, capsys):
+        tmp_path, cnf_yml = cnf_case
+        train_cnf.main([str(cnf_yml)])
+        from confild_tpu.io.checkpoint import latest_checkpoint
+        ckpt, _ = latest_checkpoint(str(tmp_path / "cnf_run"))
+        mse, rmae = eval_cnf.main([
+            "--checkpoint", ckpt, "--config", str(cnf_yml),
+            "--data", str(tmp_path / "fois.npy"),
+            "--coords", str(tmp_path / "coords.npy"),
+            "--timestep", "2", "--row", "0", "--vals", "5",
+            "--latent-indices", "1", "2", "3"])
+        out = capsys.readouterr().out
+        assert "COMPARISON AT TIMESTEP 2" in out
+        assert "PREDICTION:" in out and "ABS ERROR:" in out
+        assert np.isfinite(mse).all() and np.isfinite(rmae).all()
+
+    def test_eval_cnf_spot_check_requires_timestep_in_indices(self, cnf_case):
+        tmp_path, cnf_yml = cnf_case
+        train_cnf.main([str(cnf_yml)])
+        from confild_tpu.io.checkpoint import latest_checkpoint
+        ckpt, _ = latest_checkpoint(str(tmp_path / "cnf_run"))
+        with pytest.raises(ValueError, match="not found in latent indices"):
+            eval_cnf.main([
+                "--checkpoint", ckpt, "--config", str(cnf_yml),
+                "--data", str(tmp_path / "fois.npy"),
+                "--timestep", "5", "--latent-indices", "1", "2"])
+
 
 class TestConditionalCLI:
     def test_sample_conditional_end_to_end(self, cnf_case, tmp_path,
