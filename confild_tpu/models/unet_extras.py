@@ -100,6 +100,22 @@ class EncoderUNetModel:
             params["out_conv"] = tnn.init_conv(
                 next(keys), cfg.dims, plan.ch_final, self.out_channels, 1,
                 zero=True)
+        elif self.pool == "attention":
+            # CLIP-style attention pool (reference AttentionPool2d,
+            # src/unet.py:22-51): mean token prepended, learned positional
+            # embedding, one QKV attention, out-projection, take token 0
+            assert cfg.num_head_channels != -1, \
+                "attention pool needs num_head_channels"
+            ch = plan.ch_final
+            ds = 2 ** (len(cfg.channel_mult) - 1)
+            n_tokens = (cfg.image_size // ds) ** cfg.dims
+            params["out_norm"] = tnn.init_group_norm(ch)
+            params["attn_pool"] = {
+                "pos_emb": jax.random.normal(
+                    next(keys), (n_tokens + 1, ch)) / ch ** 0.5,
+                "qkv": tnn.init_dense(next(keys), ch, 3 * ch),
+                "proj": tnn.init_dense(next(keys), ch, self.out_channels),
+            }
         elif self.pool in ("spatial", "spatial_v2"):
             params["out_fc1"] = tnn.init_dense(next(keys), plan.feature_size,
                                                2048)
@@ -142,9 +158,39 @@ class EncoderUNetModel:
 
         h = h.astype(x.dtype)
         h = tnn.silu(tnn.group_norm(params["out_norm"], h))
+        if self.pool == "attention":
+            return self._attention_pool(params["attn_pool"], h)
         h = h.mean(axis=spatial_axes, keepdims=True)  # adaptive avg pool (1,1)
         h = tnn.conv(params["out_conv"], h)
         return h.reshape(h.shape[0], -1)
+
+    def _attention_pool(self, p, h):
+        """Reference ``AttentionPool2d.forward`` (src/unet.py:43-51) in
+        channels-last: prepend the spatial mean as a class token, add the
+        positional embedding, one new-order QKV attention, project, return
+        token 0."""
+        b, *spatial, c = h.shape
+        tokens = h.reshape(b, -1, c)
+        tokens = jnp.concatenate(
+            [tokens.mean(axis=1, keepdims=True), tokens], axis=1)
+        tokens = tokens + p["pos_emb"].astype(tokens.dtype)[None]
+        qkv = tnn.dense(p["qkv"], tokens)
+        heads = c // self.cfg.num_head_channels
+        d = c // heads
+        n = tokens.shape[1]
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(b, n, heads, d)
+        k = k.reshape(b, n, heads, d)
+        v = v.reshape(b, n, heads, d)
+        scale = 1.0 / jnp.sqrt(jnp.sqrt(jnp.asarray(d, jnp.float32)))
+        logits = jnp.einsum("bqhd,bkhd->bhqk",
+                            q * scale.astype(q.dtype),
+                            k * scale.astype(k.dtype),
+                            preferred_element_type=jnp.float32)
+        w = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", w, v).reshape(b, n, c)
+        out = tnn.dense(p["proj"], out)
+        return out[:, 0]
 
     def __call__(self, params, x, timesteps, **kw):
         return self.apply(params, x, timesteps, **kw)
@@ -163,9 +209,8 @@ def create_classifier(
     dims: int = 2,
 ) -> EncoderUNetModel:
     """Classifier factory mirroring the reference
-    ``script_util.create_classifier`` defaults (``script_util.py:189-251``).
-    The ``attention`` pool is approximated by ``adaptive`` (an attention-pool
-    head can be added when classifier guidance is trained)."""
+    ``script_util.create_classifier`` defaults (``script_util.py:189-251``),
+    including the CLIP-style ``attention`` pooling head."""
     if image_size == 512:
         channel_mult = (0.5, 1, 1, 2, 2, 4, 4)
     elif image_size == 256:
@@ -192,8 +237,8 @@ def create_classifier(
         use_scale_shift_norm=classifier_use_scale_shift_norm,
         resblock_updown=classifier_resblock_updown,
     )
-    pool = "adaptive" if classifier_pool == "attention" else classifier_pool
-    return EncoderUNetModel(cfg, pool=pool, encoder_out_channels=out_channels)
+    return EncoderUNetModel(cfg, pool=classifier_pool,
+                            encoder_out_channels=out_channels)
 
 
 def create_sr_model(

@@ -40,6 +40,57 @@ class TestEncoder:
         assert out.shape == (2, 5)
         assert jnp.all(jnp.isfinite(out))
 
+    def test_attention_pool_forward(self):
+        cfg = junet.UNetConfig(
+            image_size=32, in_channels=1, model_channels=32, out_channels=5,
+            num_res_blocks=1, attention_resolutions=(2,), channel_mult=(1, 2),
+            num_head_channels=16)
+        m = EncoderUNetModel(cfg, pool="attention", encoder_out_channels=5)
+        params = m.init(jax.random.key(0))
+        out = m.apply(params, jax.random.normal(jax.random.key(1),
+                                                (2, 1, 32, 32)),
+                      jnp.array([0, 3]))
+        assert out.shape == (2, 5)
+        assert jnp.all(jnp.isfinite(out))
+
+    def test_attention_pool_torch_parity(self):
+        """Golden test of the pooling head vs the reference AttentionPool2d
+        (src/unet.py:22-51) with ported weights."""
+        torch = pytest.importorskip("torch")
+        import sys
+        sys.path.insert(
+            0, "/root/reference/UnconditionalDiffusionTraining_and_Generation")
+        from src.unet import AttentionPool2d
+
+        b, c, hw, out_ch = 2, 32, 4, 7
+        ref = AttentionPool2d(hw, c, num_heads_channels=16, output_dim=out_ch)
+        x = torch.randn(b, c, hw, hw)
+        with torch.no_grad():
+            want = ref(x).numpy()
+
+        cfg = junet.UNetConfig(
+            image_size=8 * hw, in_channels=1, model_channels=c, out_channels=1,
+            num_res_blocks=1, attention_resolutions=(2,),
+            channel_mult=(1, 1, 1, 1), num_head_channels=16)
+        m = EncoderUNetModel(cfg, pool="attention", encoder_out_channels=out_ch)
+        p = {
+            "pos_emb": jnp.asarray(
+                ref.positional_embedding.detach().numpy().T),
+            "qkv": {
+                "kernel": jnp.asarray(
+                    ref.qkv_proj.weight.detach().numpy()[:, :, 0].T),
+                "bias": jnp.asarray(ref.qkv_proj.bias.detach().numpy()),
+            },
+            "proj": {
+                "kernel": jnp.asarray(
+                    ref.c_proj.weight.detach().numpy()[:, :, 0].T),
+                "bias": jnp.asarray(ref.c_proj.bias.detach().numpy()),
+            },
+        }
+        h = jnp.asarray(x.numpy()).transpose(0, 2, 3, 1)  # channels-last
+        got = np.asarray(m._attention_pool(p, h))
+        np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
+
     def test_classifier_factory(self):
         m = create_classifier(image_size=32, classifier_width=32,
                               classifier_depth=1,
