@@ -37,7 +37,15 @@ def test_two_process_train_save_restore(tmp_path):
     ]
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=600)
+        # generous: two cold JAX imports + compiles can share one CPU core
+        # with other jobs on small CI hosts
+        try:
+            out, _ = p.communicate(timeout=1800)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            out, _ = p.communicate()
+            pytest.fail(f"proc timed out; partial output:\n{out[-4000:]}")
         outs.append(out)
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out[-4000:]}"
