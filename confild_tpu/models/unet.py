@@ -278,7 +278,14 @@ def _apply_res(p: Params, spec: ResSpec, x, emb, *, dropout_rng=None):
     return skip + h
 
 
-def _apply_attn(p: Params, spec: AttnSpec, x):
+# token count at which sequence-parallel ring attention engages (below it,
+# single-device attention — flash or dense — is faster than paying ring-hop
+# latency; above it, O(N^2) attention memory outgrows one chip)
+RING_MIN_TOKENS = 8192
+
+
+def _apply_attn(p: Params, spec: AttnSpec, x, seq_mesh=None,
+                ring_min_tokens: int = RING_MIN_TOKENS):
     b, *spatial, c = x.shape
     n = int(np.prod(spatial))
     h = x.reshape(b, n, c)
@@ -295,7 +302,18 @@ def _apply_attn(p: Params, spec: AttnSpec, x):
         # legacy layout: per-head [q(d), k(d), v(d)] interleaved
         qkv = qkv.reshape(b, n, heads, 3 * d)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-    if spec.use_flash:
+    n_ring = seq_mesh.devices.size if seq_mesh is not None else 0
+    if n_ring > 1 and n >= ring_min_tokens and n % n_ring == 0:
+        # sequence parallel: token axis sharded over the mesh, K/V shards
+        # rotated over ICI (SURVEY §5.7 — latent images beyond one chip)
+        from confild_tpu.ops.ring_attention import ring_attention
+        qf = q.transpose(0, 2, 1, 3).reshape(b * heads, n, d)
+        kf = k.transpose(0, 2, 1, 3).reshape(b * heads, n, d)
+        vf = v.transpose(0, 2, 1, 3).reshape(b * heads, n, d)
+        out = ring_attention(qf.astype(jnp.float32), kf.astype(jnp.float32),
+                             vf.astype(jnp.float32), seq_mesh).astype(x.dtype)
+        out = out.reshape(b, heads, n, d).transpose(0, 2, 1, 3)
+    elif spec.use_flash:
         from confild_tpu.ops.flash_attention import flash_attention
         qf = q.transpose(0, 2, 1, 3).reshape(b * heads, n, d)
         kf = k.transpose(0, 2, 1, 3).reshape(b * heads, n, d)
@@ -314,13 +332,15 @@ def _apply_attn(p: Params, spec: AttnSpec, x):
     return (h + out).reshape(b, *spatial, c)
 
 
-def _apply_layer(p: Params, spec, x, emb, *, dropout_rng=None):
+def _apply_layer(p: Params, spec, x, emb, *, dropout_rng=None,
+                 seq_mesh=None, ring_min_tokens: int = RING_MIN_TOKENS):
     if isinstance(spec, ConvSpec):
         return tnn.conv(p["conv"], x, stride=spec.stride)
     if isinstance(spec, ResSpec):
         return _apply_res(p, spec, x, emb, dropout_rng=dropout_rng)
     if isinstance(spec, AttnSpec):
-        return _apply_attn(p, spec, x)
+        return _apply_attn(p, spec, x, seq_mesh=seq_mesh,
+                           ring_min_tokens=ring_min_tokens)
     if isinstance(spec, UpSpec):
         x = tnn.nearest_upsample(x, spec.dims)
         return tnn.conv(p["conv"], x) if "conv" in p else x
@@ -337,11 +357,21 @@ def _apply_layer(p: Params, spec, x, emb, *, dropout_rng=None):
 # ---------------------------------------------------------------------------
 
 class UNetModel:
-    """Config + plan bundle with pure ``init`` / ``apply``."""
+    """Config + plan bundle with pure ``init`` / ``apply``.
 
-    def __init__(self, cfg: UNetConfig):
+    ``seq_mesh``: optional device mesh enabling sequence-parallel ring
+    attention — attention blocks whose flattened token count reaches
+    ``RING_MIN_TOKENS`` shard the token axis over the mesh and rotate K/V
+    shards over ICI (``ops/ring_attention.py``).  Intended for latent images
+    beyond single-chip attention memory; assumes the batch axis is NOT
+    sharded over the same mesh axis."""
+
+    def __init__(self, cfg: UNetConfig, seq_mesh=None,
+                 ring_min_tokens: int = RING_MIN_TOKENS):
         self.cfg = cfg
         self.plan = build_plan(cfg)
+        self.seq_mesh = seq_mesh
+        self.ring_min_tokens = ring_min_tokens
 
     def init(self, key) -> Params:
         cfg, plan = self.cfg, self.plan
@@ -394,11 +424,14 @@ class UNetModel:
         in_dtype = x.dtype
         h = x.astype(cfg.torso_dtype)
 
+        seq_mesh, ring_min = self.seq_mesh, self.ring_min_tokens
+
         def run_block(block_params, block_specs, h, emb, rng):
             for i, (p, spec) in enumerate(zip(block_params, block_specs)):
                 sub_rng = (jax.random.fold_in(rng, i)
                            if rng is not None else None)
-                h = _apply_layer(p, spec, h, emb, dropout_rng=sub_rng)
+                h = _apply_layer(p, spec, h, emb, dropout_rng=sub_rng,
+                                 seq_mesh=seq_mesh, ring_min_tokens=ring_min)
             return h
 
         maybe_ckpt = jax.checkpoint(run_block, static_argnums=(1,)) \
@@ -468,6 +501,7 @@ def create_model(
     use_fp16: bool = False,   # accepted for recipe compat; means bf16 on TPU
     use_new_attention_order: bool = False,
     use_flash_attention: bool | None = None,
+    sequence_parallel_mesh=None,
 ) -> UNetModel:
     if channel_mult is None:
         if image_size not in _DEFAULT_CHANNEL_MULT:
@@ -510,4 +544,4 @@ def create_model(
         use_checkpoint=use_checkpoint,
         use_flash_attention=bool(use_flash_attention),
     )
-    return UNetModel(cfg)
+    return UNetModel(cfg, seq_mesh=sequence_parallel_mesh)
