@@ -1,0 +1,204 @@
+"""Quality-evidence report from a completed demo_turbulence run.
+
+Loads the artifacts a full ``demo_turbulence.py`` run leaves in its output
+directory (simulated fields, CNF checkpoint, diffusion EMA checkpoint),
+regenerates an ensemble, recomputes the physics gates, and writes plot
+evidence next to ``demo_metrics.json``:
+
+  * ``demo_spectra.png``   — 1-D energy spectra: real vs CNF reconstruction
+                             vs generated (log-log) + relative error
+  * ``demo_autocorr.png``  — spatially-averaged temporal autocorrelation,
+                             real trajectories vs generated samples
+  * ``demo_snapshots.png`` — u-velocity snapshots, real vs generated
+
+Run after the demo: ``python examples/demo_report.py [--out DIR]``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None, help="demo output dir")
+    ap.add_argument("--n-gen", type=int, default=None)
+    ap.add_argument("--sample-steps", type=int, default=None)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from confild_tpu import config as cfg
+    from confild_tpu.analysis.metrics import (energy_spectrum_1d,
+                                              integral_timescale,
+                                              per_channel_rmae,
+                                              spectra_relative_error,
+                                              temporal_autocorrelation)
+    from confild_tpu.cli.sample import load_unet_params
+    from confild_tpu.core.packing import (minmax_to_unit_interval,
+                                          unit_interval_to_minmax)
+    from confild_tpu.diffusion import create_gaussian_diffusion
+    from confild_tpu.models import unet as junet
+    from confild_tpu.train.cnf_trainer import CNFTrainer
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    out_dir = args.out or os.path.join(here, "demo_out")
+    with open(os.path.join(here, "demo_metrics.json")) as f:
+        metrics = json.load(f)
+    c = metrics["config"]
+    n_traj, n_snap, grid, latent = (c["n_traj"], c["n_snap"], c["grid"],
+                                    c["latent"])
+    n_gen = args.n_gen or c.get("n_gen", 64)
+    sample_steps = args.sample_steps or c.get("sample_steps", 500)
+
+    flat = np.load(os.path.join(out_dir, "fois.npy"))
+    fields = flat.reshape(n_traj, n_snap, grid, grid, 2)
+
+    # --- stage-1 assets: trained CNF (resume from the saved checkpoint) ---
+    hp = cfg.basic_input(os.path.join(out_dir, "cnf.yml"))
+    tr = CNFTrainer(hp)
+    tr.load(-1)
+    latents = np.asarray(tr.state.latents)
+    mx, mn = float(latents.max()), float(latents.min())
+
+    n_eval = min(2 * n_snap, n_traj * n_snap)
+    recon = np.asarray(tr.infer(tr.train_coord, tr.state.latents[:n_eval]))
+    recon_grid = recon.reshape(n_eval, grid, grid, 2)
+    real_eval = flat[:n_eval].reshape(n_eval, grid, grid, 2)
+
+    # --- stage-2 assets: diffusion EMA checkpoint -> fresh ensemble ---
+    import glob
+    emas = sorted(glob.glob(os.path.join(out_dir, "dckpt", "ema_*.ckpt")))
+    if not emas:
+        raise FileNotFoundError(f"no EMA checkpoint under {out_dir}/dckpt")
+    model = junet.create_model(
+        image_size=max(n_snap, latent), num_channels=64, num_res_blocks=2,
+        channel_mult="1,2,2", attention_resolutions="16,8",
+        num_heads=4, num_head_channels=16, use_bf16=True)
+    ema = load_unet_params(emas[-1], model)
+    respaced = create_gaussian_diffusion(
+        steps=1000, noise_schedule="cosine",
+        timestep_respacing=str(sample_steps))
+
+    @jax.jit
+    def sample(params, key):
+        def model_fn(x, t, **kw):
+            return model.apply(params, x, t)
+        return respaced.p_sample_loop(model_fn, (8, 1, n_snap, latent), key)
+
+    gen_batches = []
+    for b in range(max(n_gen // 8, 1)):
+        gen_batches.append(np.asarray(sample(ema, jax.random.key(100 + b))))
+    gen = np.concatenate(gen_batches)[:n_gen, 0]
+    gen_lat = unit_interval_to_minmax(gen, mx, mn)
+    gen_fields = np.stack([
+        np.asarray(tr.infer(tr.train_coord, jnp.asarray(gen_lat[s])))
+        for s in range(n_gen)])
+    gen_grid = gen_fields.reshape(n_gen, n_snap, grid, grid, 2)
+
+    # --- metrics (same definitions as demo_turbulence) ---
+    spec_err = spectra_relative_error(
+        np.concatenate([gen_grid[..., 0], gen_grid[..., 1]]).reshape(-1, grid),
+        np.concatenate([fields[..., 0], fields[..., 1]]).reshape(-1, grid),
+        axis=-1)
+    recon_spec_err = spectra_relative_error(
+        recon_grid[..., 0].reshape(-1, grid),
+        real_eval[..., 0].reshape(-1, grid), axis=-1)
+    rmae = per_channel_rmae(recon, flat[:n_eval])
+    tau_real = float(np.mean([integral_timescale(fields[i, ..., 0], 1.0)
+                              for i in range(n_traj)]))
+    tau_gen = float(np.mean([integral_timescale(gen_grid[i, ..., 0], 1.0)
+                             for i in range(n_gen)]))
+
+    # --- plots ---
+    k, e_real = energy_spectrum_1d(fields[..., 0].reshape(-1, grid))
+    _, e_gen = energy_spectrum_1d(gen_grid[..., 0].reshape(-1, grid))
+    _, e_rec = energy_spectrum_1d(recon_grid[..., 0].reshape(-1, grid))
+
+    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(11, 4.2))
+    ax1.loglog(k[1:], e_real[1:], "k-", lw=2, label="simulation")
+    ax1.loglog(k[1:], e_rec[1:], "g--", lw=1.5, label="CNF reconstruction")
+    ax1.loglog(k[1:], e_gen[1:], "r-", lw=1.5, label="generated")
+    ax1.set_xlabel("wavenumber k")
+    ax1.set_ylabel("E(k)")
+    ax1.set_title(f"u-velocity energy spectra "
+                  f"(rel. L2 err {spec_err:.3f})")
+    ax1.grid(True, which="both", alpha=0.3)
+    ax1.legend()
+    # restrict to the resolved band: the pseudo-spectral simulation's 2/3
+    # dealiasing zeroes modes beyond the cutoff, where relative error on
+    # ~1e-17 energies is meaningless
+    resolved = e_real[1:] > 1e-8 * e_real.max()
+    rel = (np.abs(e_gen[1:] - e_real[1:]) / np.abs(e_real[1:]))[resolved]
+    ax2.loglog(k[1:][resolved], rel, "r-")
+    ax2.set_xlabel("wavenumber k")
+    ax2.set_ylabel("|E_gen - E_real| / E_real")
+    ax2.set_title("per-mode relative spectrum error (resolved band)")
+    ax2.grid(True, which="both", alpha=0.3)
+    fig.tight_layout()
+    fig.savefig(os.path.join(here, "demo_spectra.png"), dpi=120)
+    plt.close(fig)
+
+    fig, ax = plt.subplots(figsize=(7, 4))
+    for i in range(min(n_traj, 8)):
+        ax.plot(temporal_autocorrelation(fields[i, ..., 0]), "k-", alpha=0.3,
+                label="simulation" if i == 0 else None)
+    for i in range(min(n_gen, 8)):
+        ax.plot(temporal_autocorrelation(gen_grid[i, ..., 0]), "r-",
+                alpha=0.3, label="generated" if i == 0 else None)
+    ax.axhline(0.05, color="b", ls="--", lw=0.8, label="cutoff 0.05")
+    ax.set_xlabel("time lag (snapshots)")
+    ax.set_ylabel("autocorrelation")
+    ax.set_title(f"temporal autocorrelation "
+                 f"(timescale real {tau_real:.1f} / gen {tau_gen:.1f})")
+    ax.legend()
+    ax.grid(alpha=0.3)
+    fig.tight_layout()
+    fig.savefig(os.path.join(here, "demo_autocorr.png"), dpi=120)
+    plt.close(fig)
+
+    fig, axes = plt.subplots(2, 4, figsize=(12, 6))
+    vmax = np.abs(fields[..., 0]).max()
+    for j in range(4):
+        axes[0, j].imshow(fields[j, n_snap // 2, :, :, 0], cmap="RdBu_r",
+                          vmin=-vmax, vmax=vmax)
+        axes[0, j].set_title(f"simulated #{j}")
+        axes[1, j].imshow(gen_grid[j, n_snap // 2, :, :, 0], cmap="RdBu_r",
+                          vmin=-vmax, vmax=vmax)
+        axes[1, j].set_title(f"generated #{j}")
+    for ax in axes.flat:
+        ax.axis("off")
+    fig.suptitle("u-velocity snapshots (mid-trajectory)")
+    fig.tight_layout()
+    fig.savefig(os.path.join(here, "demo_snapshots.png"), dpi=120)
+    plt.close(fig)
+
+    report = {
+        "cnf_rmae": [float(x) for x in rmae],
+        "cnf_recon_spectra_error": float(recon_spec_err),
+        "spectra_relative_error": float(spec_err),
+        "integral_timescale_real": tau_real,
+        "integral_timescale_generated": tau_gen,
+        "timescale_ratio": tau_gen / tau_real,
+        "n_gen": n_gen,
+        "sample_steps": sample_steps,
+    }
+    with open(os.path.join(here, "demo_report.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report, indent=2))
+    print(f"plots -> {here}/demo_{{spectra,autocorr,snapshots}}.png")
+
+
+if __name__ == "__main__":
+    main()
