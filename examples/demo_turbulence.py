@@ -89,6 +89,13 @@ def main():
     ap.add_argument("--fast", action="store_true",
                     help="tiny run for smoke testing")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--cnf-epochs", type=int, default=None,
+                    help="stage-1 epochs THIS run (the CNF trainer resumes "
+                         "from the latest checkpoint and trains this many "
+                         "more; rerun with a fresh dckpt dir to retrain the "
+                         "diffusion stage on the improved latents)")
+    ap.add_argument("--diff-steps", type=int, default=None,
+                    help="stage-2 diffusion training steps")
     args = ap.parse_args()
 
     import jax
@@ -113,8 +120,8 @@ def main():
 
     n_traj, n_snap, grid = (4, 16, 32) if args.fast else (64, 64, 64)
     latent = 32 if args.fast else 64
-    cnf_epochs = 40 if args.fast else 2500
-    diff_steps = 30 if args.fast else 30000
+    cnf_epochs = args.cnf_epochs or (40 if args.fast else 2500)
+    diff_steps = args.diff_steps or (30 if args.fast else 30000)
     sample_steps = 10 if args.fast else 500
     n_gen = 8 if args.fast else 64
 
