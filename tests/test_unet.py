@@ -117,3 +117,54 @@ class TestTorchParity:
         ours = np.asarray(m.apply(jax.tree.map(jnp.asarray, params),
                                   jnp.asarray(x), jnp.asarray(t)))
         np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
+
+
+class TestGroupNorm:
+    """Direct golden test for the lane-preserving GroupNorm formulation
+    (GroupNorm32, reference ``src/nn.py:17-19``) against torch.nn.GroupNorm."""
+
+    @pytest.mark.parametrize("shape,groups", [
+        ((2, 24, 24, 64), 32),
+        ((1, 7, 13, 128), 32),     # non-tile-aligned spatial dims
+        ((2, 4, 6, 6, 32), 32),    # 3-D, groups clamped to channels
+        ((3, 10, 16), 16),         # 1-D
+    ])
+    def test_torch_parity(self, shape, groups):
+        import torch
+        from confild_tpu.models import nn as tnn
+
+        c = shape[-1]
+        rng = np.random.default_rng(0)
+        x = (rng.standard_normal(shape) * 2.7 + 1.3).astype(np.float32)
+        scale = rng.standard_normal(c).astype(np.float32)
+        bias = rng.standard_normal(c).astype(np.float32)
+
+        out = tnn.group_norm({"scale": jnp.asarray(scale),
+                              "bias": jnp.asarray(bias)}, jnp.asarray(x),
+                             num_groups=groups)
+
+        g = min(groups, c)
+        tg = torch.nn.GroupNorm(g, c)
+        with torch.no_grad():
+            tg.weight.copy_(torch.from_numpy(scale))
+            tg.bias.copy_(torch.from_numpy(bias))
+        # torch GroupNorm is channels-first
+        perm = (0, len(shape) - 1) + tuple(range(1, len(shape) - 1))
+        xt = torch.from_numpy(np.transpose(x, perm))
+        with torch.no_grad():
+            ref = tg(xt).numpy()
+        inv = np.argsort(perm)
+        np.testing.assert_allclose(np.asarray(out), np.transpose(ref, inv),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_bf16_preserves_dtype_and_accuracy(self):
+        from confild_tpu.models import nn as tnn
+
+        x = jax.random.normal(jax.random.key(0), (2, 16, 16, 64),
+                              jnp.bfloat16) * 3 + 1.5
+        p = {"scale": jnp.ones((64,)), "bias": jnp.zeros((64,))}
+        out = tnn.group_norm(p, x)
+        assert out.dtype == jnp.bfloat16
+        ref = tnn.group_norm(p, x.astype(jnp.float32))
+        np.testing.assert_allclose(np.asarray(out, np.float32),
+                                   np.asarray(ref), atol=0.05)
