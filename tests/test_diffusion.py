@@ -207,3 +207,32 @@ class TestTorchParity:
                                    rtol=1e-12)
         np.testing.assert_allclose(ours.host_schedule.timestep_map,
                                    ref.timestep_map)
+
+
+class TestReverseOdeAndBpd:
+    def test_ddim_reverse_roundtrip(self):
+        """Reverse ODE x_t -> x_{t+1} inverts the eta=0 DDIM step for a
+        smooth model (reference gaussian_diffusion.py:588-621)."""
+        d = create_gaussian_diffusion(steps=50, noise_schedule="cosine")
+        x = 0.3 * jax.random.normal(jax.random.key(0), (2, 1, 8, 8))
+        t = jnp.array([20, 20])
+        fwd = d.ddim_reverse_sample(dummy_model, x, t,
+                                    clip_denoised=False)["sample"]
+        back = d.ddim_sample(dummy_model, fwd, t + 1, jax.random.key(1),
+                             clip_denoised=False, eta=0.0)["sample"]
+        np.testing.assert_allclose(np.asarray(back), np.asarray(x),
+                                   atol=5e-3)
+
+    def test_calc_bpd_loop_consistency(self):
+        """total_bpd = sum of per-t vb terms + prior bpd, all finite
+        (reference gaussian_diffusion.py:841-896)."""
+        d = create_gaussian_diffusion(steps=8, noise_schedule="cosine")
+        x = jnp.tanh(jax.random.normal(jax.random.key(0), (2, 1, 8, 8)))
+        out = d.calc_bpd_loop(dummy_model, x, jax.random.key(1))
+        assert out["vb"].shape == (2, 8)
+        assert out["mse"].shape == (2, 8)
+        for v in out.values():
+            assert np.all(np.isfinite(np.asarray(v)))
+        np.testing.assert_allclose(
+            np.asarray(out["total_bpd"]),
+            np.asarray(out["vb"].sum(axis=1) + out["prior_bpd"]), rtol=1e-6)
