@@ -204,10 +204,9 @@ def main():
             f"{dt_ens*1e3:.1f} ms/sample-step "
             f"({dt_fast/dt_ens:.2f}x single-stream -> ensembles scale on "
             f"the mesh, not the chip)")
-    except Exception as exc:  # OOM fallback: single-stream rate stands in
-        log(f"ensemble mode unavailable ({type(exc).__name__}); "
-            f"falling back to single-stream rate")
-        dt_ens = dt_fast
+    except Exception as exc:  # OOM etc.: report the ensemble field as absent
+        log(f"ensemble mode unavailable ({type(exc).__name__})")
+        dt_ens = None
 
     # --- FLOP accounting: pure-XLA twin of ONE guided step, so the cost
     # analysis sees every op (Pallas kernels are opaque custom-calls) ---
@@ -303,8 +302,9 @@ def main():
         "unit": "steps/s",
         # measured one-chip vmapped 10-sample ensemble rate (slower than
         # single stream on v5e — see module docstring; ensembles scale on
-        # the mesh's data axis instead)
-        "ensemble_x10_steps_per_s": round(1.0 / dt_ens, 2),
+        # the mesh's data axis instead); null if the mode failed to run
+        "ensemble_x10_steps_per_s": (round(1.0 / dt_ens, 2)
+                                     if dt_ens else None),
         # speedup over the analytic A100 torch-reference anchor (BASELINE.md
         # baseline); falls back to the in-process naive ratio if the cost
         # analysis is unavailable on this backend

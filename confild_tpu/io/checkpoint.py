@@ -17,6 +17,7 @@ from __future__ import annotations
 import glob
 import os
 import pickle
+import shutil
 import re
 from typing import Any
 
@@ -43,6 +44,8 @@ def save_pytree(path: str, tree: Any) -> None:
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         pickle.dump(_to_host(tree), f, protocol=pickle.HIGHEST_PROTOCOL)
+    if os.path.isdir(path):   # overwriting an Orbax (directory) checkpoint
+        shutil.rmtree(path)
     os.replace(tmp, path)
 
 

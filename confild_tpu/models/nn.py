@@ -147,7 +147,11 @@ def group_norm(params: dict, x: jnp.ndarray, num_groups: int = 32,
     s1 = jnp.sum(xf, axis=red)                  # (B, C)
     s2 = jnp.sum(jnp.square(xf), axis=red)      # (B, C)
     mean = s1.reshape(b, g, c // g).sum(-1, keepdims=True) / n
-    var = s2.reshape(b, g, c // g).sum(-1, keepdims=True) / n - mean * mean
+    # E[x^2] - E[x]^2 can dip below zero from f32 cancellation on
+    # near-constant groups with large mean; the true variance is >= 0
+    var = jnp.maximum(
+        s2.reshape(b, g, c // g).sum(-1, keepdims=True) / n - mean * mean,
+        0.0)
     inv = jax.lax.rsqrt(var + eps)
     # fold everything into one fused multiply-add pass: y = x*A + B
     ones = jnp.ones((b, g, c // g), jnp.float32)

@@ -113,6 +113,7 @@ class UNetConfig:
     torso_dtype: Any = jnp.float32     # set jnp.bfloat16 for a bf16 torso
     use_checkpoint: bool = False       # remat each top-level block
     use_flash_attention: bool = False  # Pallas blockwise attention (O(N) mem)
+    flash_auto: bool = False           # gate flash per block by token count
 
     @property
     def emb_ch(self) -> int:
@@ -135,9 +136,25 @@ class UNetPlan:
     out_ch_final: int
 
 
+# token count at which the Pallas flash kernel overtakes XLA's O(N^2)
+# attention (measured on v5e: 1.1x at 9216/16384, below parity under 4096)
+FLASH_MIN_TOKENS = 8192
+
+
 def build_plan(cfg: UNetConfig) -> UNetPlan:
     """Mirror of the reference block construction (``unet.py:478-615``)."""
     mc, emb_ch = cfg.model_channels, cfg.emb_ch
+
+    def flash_at(ds: int) -> bool:
+        """Auto mode gates flash PER BLOCK: sub-threshold blocks in the same
+        model stay on XLA attention, which is faster for them."""
+        if not cfg.use_flash_attention:
+            return False
+        if not cfg.flash_auto:
+            return True
+        n = cfg.image_size // ds
+        tokens = cfg.image_size * n * n if cfg.dims == 3 else n ** cfg.dims
+        return tokens >= FLASH_MIN_TOKENS
     ch = input_ch = int(cfg.channel_mult[0] * mc)
     input_blocks: list[tuple[Any, ...]] = [
         (ConvSpec(cfg.dims, cfg.in_channels, ch),)
@@ -153,7 +170,7 @@ def build_plan(cfg: UNetConfig) -> UNetPlan:
             if ds in cfg.attention_resolutions:
                 layers.append(AttnSpec(ch, cfg.heads_for(ch),
                                        cfg.use_new_attention_order,
-                                       cfg.use_flash_attention))
+                                       flash_at(ds)))
             input_blocks.append(tuple(layers))
             input_block_chans.append(ch)
         if level != len(cfg.channel_mult) - 1:
@@ -171,7 +188,7 @@ def build_plan(cfg: UNetConfig) -> UNetPlan:
         ResSpec(cfg.dims, ch, ch, emb_ch, cfg.use_scale_shift_norm,
                 dropout=cfg.dropout),
         AttnSpec(ch, cfg.heads_for(ch), cfg.use_new_attention_order,
-                 cfg.use_flash_attention),
+                 flash_at(ds)),
         ResSpec(cfg.dims, ch, ch, emb_ch, cfg.use_scale_shift_norm,
                 dropout=cfg.dropout),
     )
@@ -187,7 +204,7 @@ def build_plan(cfg: UNetConfig) -> UNetPlan:
             if ds in cfg.attention_resolutions:
                 layers.append(AttnSpec(ch, cfg.heads_for(ch, upsample=True),
                                        cfg.use_new_attention_order,
-                                       cfg.use_flash_attention))
+                                       flash_at(ds)))
             if level and i == cfg.num_res_blocks:
                 if cfg.resblock_updown:
                     layers.append(ResSpec(
@@ -515,13 +532,18 @@ def create_model(
     attention_ds = tuple(
         image_size // int(res) for res in str(attention_resolutions).split(","))
 
-    if use_flash_attention is None:
+    flash_auto = use_flash_attention is None
+    if flash_auto:
         # auto: measured on TPU v5e, the Pallas blockwise kernel overtakes
-        # XLA's O(N^2) attention at ~9k tokens (1.1x at 9216/16384, below
-        # parity under 4096); its O(N) memory is what enables latent images
-        # beyond the reference's 384^2.  Threshold set from those numbers.
-        max_tokens = max((image_size // ds) ** dims for ds in attention_ds)
-        use_flash_attention = max_tokens >= 8192
+        # XLA's O(N^2) attention at ~9k tokens (FLASH_MIN_TOKENS); its O(N)
+        # memory is what enables latent images beyond the reference's 384^2.
+        # build_plan applies the threshold PER BLOCK; this flag records
+        # whether any block crosses it.
+        def _tokens(ds):
+            n = image_size // ds
+            return image_size * n * n if dims == 3 else n ** dims
+        use_flash_attention = max(
+            _tokens(ds) for ds in attention_ds) >= FLASH_MIN_TOKENS
 
     cfg = UNetConfig(
         image_size=image_size,
@@ -543,5 +565,6 @@ def create_model(
         torso_dtype=jnp.bfloat16 if (use_bf16 or use_fp16) else jnp.float32,
         use_checkpoint=use_checkpoint,
         use_flash_attention=bool(use_flash_attention),
+        flash_auto=flash_auto,
     )
     return UNetModel(cfg, seq_mesh=sequence_parallel_mesh)

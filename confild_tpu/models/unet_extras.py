@@ -108,7 +108,12 @@ class EncoderUNetModel:
                 "attention pool needs num_head_channels"
             ch = plan.ch_final
             ds = 2 ** (len(cfg.channel_mult) - 1)
-            n_tokens = (cfg.image_size // ds) ** cfg.dims
+            # 3-D torsos downsample only the last two axes ((1,2,2) windows,
+            # unet.py DownSpec) — the depth axis keeps its full extent
+            if cfg.dims == 3:
+                n_tokens = cfg.image_size * (cfg.image_size // ds) ** 2
+            else:
+                n_tokens = (cfg.image_size // ds) ** cfg.dims
             params["out_norm"] = tnn.init_group_norm(ch)
             params["attn_pool"] = {
                 "pos_emb": jax.random.normal(

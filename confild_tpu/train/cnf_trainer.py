@@ -419,6 +419,8 @@ class CNFTrainer:
         rng = np.random.default_rng(0)
         start = int(state.epoch)
         end = start + hp.epochs
+        if hp.epochs <= 0:   # no-op continuation: don't rewind state.epoch
+            return state
 
         # Chunk boundaries fall on eval/save epochs (epoch % save_every == 0
         # and the final epoch), preserving the reference cadence.  Segments
@@ -505,14 +507,31 @@ class CNFTrainer:
                 if os.path.exists(pt):
                     return self._load_pt(pt, siren_only)
 
-        ck = ckpt_io.load_pytree(path)
+        template = None
+        if os.path.isdir(path):
+            # Orbax (multi-process) checkpoints need a structure template —
+            # NamedTuple optimizer states deserialize as plain dicts otherwise
+            s = self.init_state()
+            template = {
+                "epoch": 0,
+                "model_state_dict": s.nf_params,
+                "hidden_states": {"latents": s.latents},
+                "optim_net_dec_dict": s.opt_nf_state,
+                "optim_states_dict": s.opt_lat_state,
+            }
+        ck = ckpt_io.load_pytree(path, template)
         nf_params = jax.tree.map(jnp.asarray, ck["model_state_dict"])
         latents_ck = jnp.asarray(ck["hidden_states"]["latents"])
         opt_nf, opt_lat = self._optimizers()
-        self.N_samples = latents_ck.shape[0]
-        # siren_only loads decoder + decoder-optimizer only; latents and
-        # their optimizer stay fresh (reference :509-527 loads neither)
-        latents = jnp.zeros_like(latents_ck) if siren_only else latents_ck
+        # siren_only loads decoder + decoder-optimizer only; latents (sized
+        # by the CURRENT dataset, not the checkpoint's) and their optimizer
+        # stay fresh (reference :509-527 loads neither)
+        if siren_only:
+            latents = jnp.zeros((self.N_samples, self.hp.hidden_size),
+                                jnp.float32)
+        else:
+            latents = latents_ck
+            self.N_samples = latents_ck.shape[0]
         opt_lat_state = (opt_lat.init(latents) if siren_only
                          else ck.get("optim_states_dict")
                          or opt_lat.init(latents))
@@ -530,12 +549,14 @@ class CNFTrainer:
         from confild_tpu.io.torch_port import load_cnf_checkpoint
         ck = load_cnf_checkpoint(path)
         nf_params = jax.tree.map(jnp.asarray, ck["params"])
-        latents = (jnp.asarray(ck["latents"]) if "latents" in ck
-                   else jnp.zeros((self.N_samples, self.hp.hidden_size)))
-        if siren_only:
-            latents = jnp.zeros_like(latents)
+        if siren_only or "latents" not in ck:
+            # fresh table sized by the CURRENT dataset (reference :509-527)
+            latents = jnp.zeros((self.N_samples, self.hp.hidden_size),
+                                jnp.float32)
+        else:
+            latents = jnp.asarray(ck["latents"])
+            self.N_samples = latents.shape[0]
         opt_nf, opt_lat = self._optimizers()
-        self.N_samples = latents.shape[0]
         self.state = CNFTrainState(
             nf_params=nf_params, latents=latents,
             opt_nf_state=opt_nf.init(nf_params),

@@ -120,8 +120,10 @@ def main():
 
     n_traj, n_snap, grid = (4, 16, 32) if args.fast else (64, 64, 64)
     latent = 32 if args.fast else 64
-    cnf_epochs = args.cnf_epochs or (40 if args.fast else 2500)
-    diff_steps = args.diff_steps or (30 if args.fast else 30000)
+    cnf_epochs = (args.cnf_epochs if args.cnf_epochs is not None
+                  else (40 if args.fast else 2500))
+    diff_steps = (args.diff_steps if args.diff_steps is not None
+                  else (30 if args.fast else 30000))
     sample_steps = 10 if args.fast else 500
     n_gen = 8 if args.fast else 64
 

@@ -251,3 +251,70 @@ class TestFusedTrainingPath:
                         jax.tree.leaves(tr2.state.nf_params)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=5e-3, atol=1e-5)
+
+
+class TestLoadSizingAndNoopTrain:
+    def test_siren_only_sizes_latents_from_current_dataset(self, tmp_path):
+        """Decoder-only reuse on a different-sized dataset must give a fresh
+        latent table sized by the CURRENT dataset, not the checkpoint's."""
+        a = tmp_path / "a"
+        a.mkdir()
+        hp_a = make_case(a, epochs=4)
+        tr_a = CNFTrainer(hp_a)
+        tr_a.train(log_formats=())
+        assert tr_a.N_samples == 16
+
+        # smaller dataset B (10 snapshots), pointing at A's checkpoints
+        b = tmp_path / "b"
+        b.mkdir()
+        hp_b = make_case(b, epochs=2)
+        np.save(b / "fois.npy", np.load(a / "fois.npy")[:10])
+        hp_b.save_path = hp_a.save_path
+        tr_b = CNFTrainer(hp_b)
+        st = tr_b.load(-1, siren_only=True)
+        assert tr_b.N_samples == 10
+        assert st.latents.shape == (10, hp_b.hidden_size)
+        # decoder restored from A's checkpoint
+        for x, y in zip(jax.tree.leaves(st.nf_params),
+                        jax.tree.leaves(tr_a.state.nf_params)):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+
+    def test_zero_epoch_train_keeps_epoch(self, tmp_path):
+        """train() with epochs=0 is a no-op and must not rewind
+        state.epoch (checkpoint sequence would go backwards)."""
+        hp = make_case(tmp_path, epochs=4)
+        tr = CNFTrainer(hp)
+        tr.train(log_formats=())
+        e = int(tr.state.epoch)
+        hp.epochs = 0
+        st = tr.train(log_formats=())
+        assert int(st.epoch) == e
+
+    def test_orbax_checkpoint_restore_keeps_optimizer_structure(self, tmp_path):
+        """Multi-process saves go through Orbax (a directory); restore must
+        rebuild optax NamedTuple states from the structure template or the
+        first update after resume crashes."""
+        from confild_tpu.io import checkpoint as ckpt_io
+
+        hp = make_case(tmp_path, epochs=4)
+        tr = CNFTrainer(hp)
+        tr.train(log_formats=())
+        s = tr.state
+        path = os.path.join(hp.save_path, "checkpoint_900.ckpt")
+        ckpt_io.save_sharded(path, {
+            "epoch": 900,
+            "model_state_dict": s.nf_params,
+            "hidden_states": {"latents": s.latents},
+            "optim_net_dec_dict": s.opt_nf_state,
+            "optim_states_dict": s.opt_lat_state,
+        })
+        assert os.path.isdir(path)
+
+        tr2 = CNFTrainer(hp)
+        st = tr2.load(-1)
+        assert int(st.epoch) == 900
+        assert jax.tree.structure(st.opt_lat_state) == \
+            jax.tree.structure(s.opt_lat_state)
+        # restored state must be directly usable: one more epoch
+        hp.epochs = 1
+        tr2.train(log_formats=())

@@ -221,3 +221,17 @@ class TestClassifierGuidance:
         plain = diffusion.ddim_sample_loop(model_fn, (1, 1, 16, 16), key)
         assert np.all(np.isfinite(np.asarray(guided)))
         assert float(jnp.abs(guided - plain).max()) > 1e-6
+
+
+class TestAttentionPool3D:
+    def test_forward_3d(self):
+        """3-D torsos downsample only the last two axes, so the attention
+        pool's positional embedding must use D * (H/ds) * (W/ds) tokens."""
+        m = create_classifier(image_size=8, classifier_width=64,
+                              classifier_depth=1,
+                              classifier_attention_resolutions="4",
+                              out_channels=3, dims=3)
+        params = m.init(jax.random.key(0))
+        out = m.apply(params, jnp.zeros((1, 1, 8, 8, 8)), jnp.array([0]))
+        assert out.shape == (1, 3)
+        assert np.all(np.isfinite(np.asarray(out)))

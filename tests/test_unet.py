@@ -168,3 +168,14 @@ class TestGroupNorm:
         ref = tnn.group_norm(p, x.astype(jnp.float32))
         np.testing.assert_allclose(np.asarray(out, np.float32),
                                    np.asarray(ref), atol=0.05)
+
+
+def test_group_norm_near_constant_large_mean_finite():
+    """E[x^2]-E[x]^2 cancellation on a near-constant large-mean group must
+    not produce NaN (variance clamped at zero)."""
+    from confild_tpu.models import nn as tnn
+
+    x = 1e3 + 1e-4 * jax.random.normal(jax.random.key(0), (1, 64, 64, 64))
+    p = {"scale": jnp.ones((64,)), "bias": jnp.zeros((64,))}
+    out = tnn.group_norm(p, x)
+    assert np.all(np.isfinite(np.asarray(out)))
