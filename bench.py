@@ -160,7 +160,7 @@ def main():
     @jax.jit
     def run_fast(params, cparams, img):
         """The real sampler: the whole guided trajectory is ONE lax.scan."""
-        op = make_operator(cparams, use_pallas=on_tpu)
+        op = make_operator(cparams, use_pallas=None)  # product default: auto
         meth = get_conditioning_method("ps", op, get_noise("gaussian",
                                                            sigma=0.0),
                                        scale=1.0)
@@ -185,7 +185,7 @@ def main():
 
     @jax.jit
     def run_ensemble(params, cparams, x_starts, keys):
-        op = make_operator(cparams, use_pallas=on_tpu)
+        op = make_operator(cparams, use_pallas=None)
         meth = get_conditioning_method("ps", op, get_noise("gaussian",
                                                            sigma=0.0),
                                        scale=1.0)

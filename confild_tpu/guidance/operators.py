@@ -97,7 +97,8 @@ class CNFDecodeOperator:
     min_val: Any
     mask: Any = None                   # sensor mask, broadcastable to fields
     w0: float = 30.0
-    use_pallas: bool = True
+    # None = auto by workload size (see decode_latents); bool forces a path
+    use_pallas: bool | None = None
 
     def __post_init__(self):
         self.norm_coords = jnp.asarray(
@@ -112,8 +113,19 @@ class CNFDecodeOperator:
 
         Uses the frozen-decoder fused op: the backward is ONLY the dZ Pallas
         kernel (decoder params and mesh coords are frozen during guided
-        sampling, reference measurements.py:76-78)."""
-        if self.use_pallas:
+        sampling, reference measurements.py:76-78).
+
+        Auto path choice: at sparse-sensor scale (case4: 384 rows x 10
+        points) the Pallas custom-call costs ~6 ms/step in fusion/layout
+        breaks inside the guided scan while the pure-XLA decode costs ~1 ms
+        (measured v5e, 384-wide 15-layer SIREN); at full-mesh scale the XLA
+        VJP must store per-layer activations (rows*points*width*layers*4B —
+        gigabytes) and the O(1)-memory Pallas kernel wins outright."""
+        use_pallas = self.use_pallas
+        if use_pallas is None:
+            pairs = int(latents.shape[0]) * int(self.norm_coords.shape[0])
+            use_pallas = pairs > 65536
+        if use_pallas:
             fields = fused_siren_decode_frozen(self.params, self.norm_coords,
                                                latents, self.w0)
         else:
