@@ -16,14 +16,27 @@ from confild_tpu.inference import CNF_inference
 def spot_check(args):
     """Print data-vs-prediction at a chosen (timestep, row, columns)
     (reference ``cnf_inference_pub.py:100-143`` output format)."""
-    inf = CNF_inference(args.checkpoint, args.config, args.data,
-                        is_pub=args.is_pub)
+    # validate cheap argument constraints BEFORE the (expensive) checkpoint
+    # and data load
     latent_indices = args.latent_indices or [args.timestep]
     nt, row, vals = args.timestep, args.row, args.vals
     if nt not in latent_indices:
         raise ValueError(f"Timestep {nt} not found in latent indices "
                          f"{latent_indices}")
     nt_idx = latent_indices.index(nt)
+    if row < 0:
+        raise ValueError(f"--row must be >= 0, got {row}")
+
+    inf = CNF_inference(args.checkpoint, args.config, args.data,
+                        is_pub=args.is_pub)
+    if inf.data.ndim == 3 and row != 0:
+        raise ValueError(
+            f"--row {row} is out of range: flat (t, N, c) data has a "
+            "single-row grid view — only --row 0 is valid (choose columns "
+            "via --vals)")
+    if inf.data.ndim == 4 and row >= inf.data.shape[1]:
+        raise ValueError(f"--row {row} out of range for grid with "
+                         f"{inf.data.shape[1]} rows")
 
     if args.coords:
         coords = np.load(args.coords)

@@ -44,9 +44,18 @@ def save_pytree(path: str, tree: Any) -> None:
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         pickle.dump(_to_host(tree), f, protocol=pickle.HIGHEST_PROTOCOL)
-    if os.path.isdir(path):   # overwriting an Orbax (directory) checkpoint
-        shutil.rmtree(path)
-    os.replace(tmp, path)
+    if os.path.isdir(path):   # overwriting an Orbax (directory) checkpoint:
+        # rename the directory aside first so a crash between operations
+        # never leaves NO checkpoint at `path` (rmtree-then-replace had a
+        # window with neither old nor new present)
+        old = path + ".old"
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        os.rename(path, old)
+        os.replace(tmp, path)
+        shutil.rmtree(old)
+    else:
+        os.replace(tmp, path)
 
 
 def load_pytree(path: str, template: Any | None = None) -> Any:
@@ -99,6 +108,16 @@ def save_sharded(path: str, tree: Any) -> None:
     path = os.path.abspath(path)
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(path, tree, force=True)
+
+
+def sharded_metadata(path: str) -> Any:
+    """Structure-only metadata of an Orbax checkpoint (pytree of objects
+    with ``.shape``/``.dtype``) — lets callers size restore templates from
+    the CHECKPOINT's shapes instead of assuming current-run shapes."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.metadata(os.path.abspath(path))
 
 
 def restore_sharded(path: str, template: Any | None = None) -> Any:

@@ -374,7 +374,11 @@ class CNFTrainer:
         # at once would not fit HBM for the production cases); eval rides the
         # fused kernel too when enabled (flat rMAE == grid rMAE: same elements)
         eval_bs = min(hp.test_batch_size, n)
-        n_eval = (n // eval_bs) * eval_bs
+        # pad the last chunk (clamped duplicate indices) and mask it out of
+        # the mean so EVERY snapshot counts, like the reference's full-set
+        # eval (scripts/train.py:429-459) — flooring to a multiple of
+        # eval_bs silently dropped up to eval_bs-1 tail samples
+        n_chunks = -(-n // eval_bs)
         denorm = self.out_normalizer.as_jax().denormalize
         flat_criteria = partial(TEST_CRITERIA[hp.test_criteria], dims=(1,))
 
@@ -394,9 +398,11 @@ class CNFTrainer:
                     pred = self.model(state.nf_params, coords, rows)
                 return self.test_criteria(denorm(pred), denorm(fois[idx]))
 
-            idxs = jnp.arange(n_eval).reshape(-1, eval_bs)
-            errs = jax.lax.map(one, idxs)
-            return errs.reshape(-1, errs.shape[-1]).mean(axis=0)
+            flat_idx = jnp.minimum(jnp.arange(n_chunks * eval_bs), n - 1)
+            errs = jax.lax.map(one, flat_idx.reshape(-1, eval_bs))
+            errs = errs.reshape(-1, errs.shape[-1])       # (padded N, C)
+            valid = (jnp.arange(n_chunks * eval_bs) < n)[:, None]
+            return (errs * valid).sum(axis=0) / jnp.sum(valid)
 
         return run_chunk, eval_rmae, shard_perm
 
@@ -519,6 +525,21 @@ class CNFTrainer:
                 "optim_net_dec_dict": s.opt_nf_state,
                 "optim_states_dict": s.opt_lat_state,
             }
+            # size the latent-table entries from the CHECKPOINT's metadata:
+            # a full restore adopts the checkpoint's N_samples below, so a
+            # current-dataset-sized template would fail when N differs
+            if not siren_only:
+                try:
+                    meta = ckpt_io.sharded_metadata(path)
+                    ck_shape = tuple(
+                        meta["hidden_states"]["latents"].shape)
+                except Exception:
+                    ck_shape = None
+                if ck_shape and ck_shape != tuple(s.latents.shape):
+                    lat_t = jax.ShapeDtypeStruct(ck_shape, jnp.float32)
+                    template["hidden_states"] = {"latents": lat_t}
+                    template["optim_states_dict"] = jax.eval_shape(
+                        self._optimizers()[1].init, lat_t)
         ck = ckpt_io.load_pytree(path, template)
         nf_params = jax.tree.map(jnp.asarray, ck["model_state_dict"])
         latents_ck = jnp.asarray(ck["hidden_states"]["latents"])

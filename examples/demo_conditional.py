@@ -1,0 +1,329 @@
+"""Conditional-generation physics experiment: zero-shot sparse-sensor
+reconstruction of HELD-OUT turbulence via DPS.
+
+This is the flagship CoNFiLD deliverable (reference
+``ConditionalDiffusionGeneration/inference_scripts/Case4/random_sensor/
+inference_phy_random_sensor.ipynb`` cells 22-39, ``README.md:100-131,202``):
+given only O(10) random sensor readings per frame, reconstruct the full
+spatiotemporal field by steering the unconditional latent-diffusion prior
+with the differentiable-CNF measurement misfit at every reverse step.
+
+Protocol:
+  1. Simulate ``--n-held`` NEW trajectories (seed disjoint from the
+     training seed 0) — these were never seen by CNF or diffusion training.
+  2. Place ``--n-sensors`` random mesh points per trajectory; the
+     measurement is the (T, n_sensors, 2) velocity trace at those points.
+  3. Tune the DPS guidance scale on trajectory 0 with a respaced (cheap)
+     sampler; evaluate ALL trajectories at full 1000-step DDPM with the
+     chosen scale (an ensemble of ``--n-ens`` samples per trajectory).
+  4. Report, per trajectory and pooled: sensor-trace rMAE and +-3 sigma
+     band coverage (the notebook's acceptance plot), held-out FULL-FIELD
+     rMAE of the ensemble mean, energy-spectra error and integral-timescale
+     ratio of the conditional ensemble vs the held-out ground truth; an
+     unconditional-ensemble control shows how much the sensors buy.
+
+Artifacts: ``examples/demo_conditional.json`` + ``demo_cond_sensors.png``
++ ``demo_cond_fields.png``.
+
+Run after ``demo_turbulence.py``: ``python examples/demo_conditional.py``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from demo_turbulence import simulate_turbulence  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None, help="demo output dir")
+    ap.add_argument("--n-held", type=int, default=4,
+                    help="held-out trajectories to reconstruct")
+    ap.add_argument("--n-sensors", type=int, default=16,
+                    help="random sensor points per trajectory")
+    ap.add_argument("--n-ens", type=int, default=8,
+                    help="DPS samples per trajectory")
+    ap.add_argument("--steps", type=int, default=1000,
+                    help="reverse steps for the final runs")
+    ap.add_argument("--seed", type=int, default=777,
+                    help="held-out simulation seed (training used 0)")
+    ap.add_argument("--scales", default="0.3,1.0,3.0",
+                    help="guidance scales swept on trajectory 0")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from confild_tpu import config as cfg
+    from confild_tpu.analysis.metrics import (integral_timescale,
+                                              per_channel_rmae,
+                                              spectra_relative_error)
+    from confild_tpu.cli.sample import load_unet_params
+    from confild_tpu.guidance import (create_sampler, get_conditioning_method,
+                                      get_noise)
+    from confild_tpu.guidance.operators import CNFDecodeOperator
+    from confild_tpu.models import unet as junet
+    from confild_tpu.train.cnf_trainer import CNFTrainer
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    out_dir = args.out or os.path.join(here, "demo_out")
+    with open(os.path.join(here, "demo_metrics.json")) as f:
+        c = json.load(f)["config"]
+    n_snap, grid, latent = c["n_snap"], c["grid"], c["latent"]
+
+    t0 = time.time()
+    print(f"[1/5] simulating {args.n_held} held-out trajectories "
+          f"(seed {args.seed}) ...")
+    held = simulate_turbulence(grid, n_snap, args.n_held, seed=args.seed)
+    # (n_held, T, grid, grid, 2) -> flat mesh axis
+    held_flat = held.reshape(args.n_held, n_snap, grid * grid, 2)
+
+    print("[2/5] loading stage-1/2 assets ...")
+    hp = cfg.basic_input(os.path.join(out_dir, "cnf.yml"))
+    tr = CNFTrainer(hp, infer_mode=True, infer_dps=True)
+    tr.load(-1)  # full load: the latent table supplies the (max, min) scale
+    latents_train = np.asarray(tr.state.latents)
+    mx, mn = float(latents_train.max()), float(latents_train.min())
+
+    import glob
+    emas = sorted(glob.glob(os.path.join(out_dir, "dckpt", "ema_*.ckpt")))
+    model = junet.create_model(
+        image_size=max(n_snap, latent), num_channels=64, num_res_blocks=2,
+        channel_mult="1,2,2", attention_resolutions="16,8",
+        num_heads=4, num_head_channels=16, use_bf16=True)
+    ema = load_unet_params(emas[-1], model)
+
+    full_coords = np.stack(np.meshgrid(np.linspace(0, 1, grid),
+                                       np.linspace(0, 1, grid),
+                                       indexing="ij"), -1).reshape(-1, 2)
+    full_coords = full_coords.astype(np.float32)
+
+    # --- sensors: random mesh points, fixed over the trajectory ----------
+    rng = np.random.default_rng(args.seed + 1)
+    sensor_idx = np.stack([
+        rng.choice(grid * grid, size=args.n_sensors, replace=False)
+        for _ in range(args.n_held)])                     # (n_held, S)
+    measures = np.stack([held_flat[i, :, sensor_idx[i], :].transpose(1, 0, 2)
+                         for i in range(args.n_held)])    # (n_held, T, S, 2)
+
+    def make_operator(coords, point_idx=None):
+        """Sensor-coord decode operator.  The demo's '-11' normalizer is fit
+        with dim=0 over (t, N, c) -> per-mesh-point params (1, N, c); when
+        decoding at a point subset the y-params must be sliced to those
+        points."""
+        from confild_tpu.core import normalize as cnorm
+        y_norm = tr.out_normalizer
+        if point_idx is not None and np.asarray(y_norm.params[0]).ndim == 3:
+            y_norm = cnorm.Normalizer(
+                tuple(np.asarray(p)[:, point_idx, :] for p in y_norm.params),
+                y_norm.method, y_norm.dim)
+        return CNFDecodeOperator(
+            params=tr.state.nf_params, coords=coords,
+            x_normalizer=tr.in_normalizer, y_normalizer=y_norm,
+            max_val=mx, min_val=mn)
+
+    noiser = get_noise("clean")
+
+    def run_ensemble(operator, measurement, scale, steps, n_ens, seed):
+        cond = get_conditioning_method("ps", operator, noiser, scale=scale)
+        sampler = create_sampler(
+            sampler="ddpm", steps=1000, noise_schedule="cosine",
+            timestep_respacing=str(steps) if steps != 1000 else None)
+        y = jnp.asarray(measurement)
+
+        def run_one(params, x_start, k):
+            def model_fn(x, t, **kw):
+                return model.apply(params, x, t)
+            return sampler.p_sample_loop(model_fn, x_start, y, cond, k,
+                                         return_distances=True)
+
+        keys = jax.random.split(jax.random.key(seed), n_ens)
+        x_starts = jax.random.normal(jax.random.key(seed + 1),
+                                     (n_ens, 1, 1, n_snap, latent))
+        samples, dists = jax.jit(jax.vmap(run_one, in_axes=(None, 0, 0)))(
+            ema, x_starts, keys)
+        return (np.asarray(samples).reshape(n_ens, n_snap, latent),
+                np.asarray(dists)[:, -1])
+
+    def decode_full(gen_lat_rows):
+        """(T, L) latent rows (physical range) -> (T, grid*grid, 2)."""
+        return np.asarray(tr.infer(full_coords, jnp.asarray(gen_lat_rows)))
+
+    def unnorm(samples):
+        return (samples + 1.0) * (mx - mn) / 2.0 + mn
+
+    # --- [3/5] guidance-scale sweep on trajectory 0 (cheap respacing) ----
+    scales = [float(s) for s in args.scales.split(",")]
+    print(f"[3/5] tuning guidance scale on trajectory 0: {scales} ...")
+    op0 = make_operator(full_coords[sensor_idx[0]], sensor_idx[0])
+    sweep = {}
+    for s in scales:
+        samples, final_dist = run_ensemble(op0, measures[0], s, steps=100,
+                                           n_ens=4, seed=10)
+        sweep[s] = float(np.mean(final_dist))
+        print(f"      scale {s}: final sensor misfit "
+              f"{sweep[s]:.4f} ({time.time()-t0:.0f}s)")
+    best_scale = min(sweep, key=sweep.get)
+    print(f"      chosen scale: {best_scale}")
+
+    # --- [4/5] full-step DPS reconstruction of every held-out traj -------
+    print(f"[4/5] DPS reconstruction: {args.n_held} trajectories x "
+          f"{args.n_ens} samples x {args.steps} steps ...")
+    per_traj = []
+    ens_fields = []          # (n_held, n_ens, T, grid*grid, 2)
+    for i in range(args.n_held):
+        op = make_operator(full_coords[sensor_idx[i]], sensor_idx[i])
+        samples, _ = run_ensemble(op, measures[i], best_scale,
+                                  steps=args.steps, n_ens=args.n_ens,
+                                  seed=100 + i)
+        fields = np.stack([decode_full(unnorm(s)) for s in samples])
+        ens_fields.append(fields)
+        mean_f = fields.mean(0)
+        # sensor-trace metrics on the DECODED fields at the sensor points
+        tr_pred = fields[:, :, sensor_idx[i], :]      # (E, T, S, 2)
+        tr_true = measures[i]                         # (T, S, 2)
+        m, sd = tr_pred.mean(0), tr_pred.std(0)
+        cover = float(np.mean((tr_true >= m - 3 * sd)
+                              & (tr_true <= m + 3 * sd)))
+        sensor_rmae = float(np.mean(np.abs(m - tr_true))
+                            / np.mean(np.abs(tr_true)))
+        field_rmae = [float(x) for x in per_channel_rmae(
+            mean_f, held_flat[i])]
+        per_traj.append({"traj": i, "sensor_rmae": sensor_rmae,
+                         "sigma3_coverage": cover,
+                         "field_rmae_mean": field_rmae})
+        print(f"      traj {i}: sensor rMAE {sensor_rmae:.4f}, 3sigma "
+              f"coverage {cover:.3f}, field rMAE {field_rmae} "
+              f"({time.time()-t0:.0f}s)")
+    ens_fields = np.stack(ens_fields)
+
+    # control: unconditional ensemble scored against the same truth
+    print("      control: unconditional ensemble vs the same truth ...")
+    from confild_tpu.diffusion import create_gaussian_diffusion
+    respaced = create_gaussian_diffusion(steps=1000, noise_schedule="cosine",
+                                         timestep_respacing=str(args.steps)
+                                         if args.steps != 1000 else "")
+
+    @jax.jit
+    def sample_uncond(params, key):
+        def model_fn(x, t, **kw):
+            return model.apply(params, x, t)
+        return respaced.p_sample_loop(
+            model_fn, (args.n_ens, 1, n_snap, latent), key)
+
+    uncond = np.asarray(sample_uncond(ema, jax.random.key(999)))[:, 0]
+    uncond_fields = np.stack([decode_full(unnorm(s)) for s in uncond])
+    uncond_rmae = float(np.mean([
+        np.mean(per_channel_rmae(uncond_fields.mean(0), held_flat[i]))
+        for i in range(args.n_held)]))
+
+    # --- [5/5] pooled physics metrics + plots ----------------------------
+    print("[5/5] physics metrics + plots ...")
+    gen_grid = ens_fields.reshape(-1, n_snap, grid, grid, 2)
+    true_grid = held.reshape(args.n_held, n_snap, grid, grid, 2)
+    spec_err = spectra_relative_error(
+        np.concatenate([gen_grid[..., 0], gen_grid[..., 1]]).reshape(-1, grid),
+        np.concatenate([true_grid[..., 0],
+                        true_grid[..., 1]]).reshape(-1, grid), axis=-1)
+    tau_true = float(np.mean([integral_timescale(true_grid[i, ..., 0], 1.0)
+                              for i in range(args.n_held)]))
+    tau_cond = float(np.mean([integral_timescale(gen_grid[i, ..., 0], 1.0)
+                              for i in range(gen_grid.shape[0])]))
+
+    # sensor-trace plot: first trajectory, 4 sensors, u channel (the
+    # notebook's cells 33-39 acceptance plot, +-3 sigma bands)
+    fields0 = ens_fields[0]
+    tr_pred = fields0[:, :, sensor_idx[0], :]
+    m, sd = tr_pred.mean(0), tr_pred.std(0)
+    tt = np.arange(n_snap)
+    fig, axes = plt.subplots(2, 2, figsize=(11, 6), sharex=True)
+    for j, ax in enumerate(axes.flat):
+        ax.fill_between(tt, m[:, j, 0] - 3 * sd[:, j, 0],
+                        m[:, j, 0] + 3 * sd[:, j, 0], color="r", alpha=0.25,
+                        label="DPS ensemble +-3 sigma")
+        ax.plot(tt, m[:, j, 0], "r-", lw=1.2, label="DPS ensemble mean")
+        ax.plot(tt, measures[0][:, j, 0], "k.", ms=3.5, label="sensor truth")
+        ax.set_title(f"sensor {j} (u)")
+        ax.grid(alpha=0.3)
+        if j == 0:
+            ax.legend(fontsize=8)
+    for ax in axes[1]:
+        ax.set_xlabel("snapshot")
+    fig.suptitle("held-out trajectory 0: sensor traces, truth vs DPS "
+                 "reconstruction")
+    fig.tight_layout()
+    fig.savefig(os.path.join(here, "demo_cond_sensors.png"), dpi=120)
+    plt.close(fig)
+
+    # field comparison: truth / DPS mean / abs error at mid-trajectory
+    fig, axes = plt.subplots(args.n_held, 3,
+                             figsize=(9, 2.6 * args.n_held), squeeze=False)
+    vmax = np.abs(true_grid[..., 0]).max()
+    for i in range(args.n_held):
+        tru = true_grid[i, n_snap // 2, :, :, 0]
+        rec = ens_fields[i].mean(0)[n_snap // 2].reshape(grid, grid, 2)[..., 0]
+        axes[i, 0].imshow(tru, cmap="RdBu_r", vmin=-vmax, vmax=vmax)
+        axes[i, 1].imshow(rec, cmap="RdBu_r", vmin=-vmax, vmax=vmax)
+        im = axes[i, 2].imshow(np.abs(rec - tru), cmap="magma", vmin=0,
+                               vmax=vmax / 2)
+        ys, xs = np.unravel_index(sensor_idx[i], (grid, grid))
+        axes[i, 0].scatter(xs, ys, s=8, c="lime", marker="o",
+                           edgecolors="k", linewidths=0.4)
+        axes[i, 0].set_ylabel(f"traj {i}")
+        for ax, title in zip(axes[i], ("truth (+ sensors)", "DPS mean",
+                                       "|error|")):
+            if i == 0:
+                ax.set_title(title)
+            ax.set_xticks([])
+            ax.set_yticks([])
+    fig.suptitle("held-out u-velocity, mid-trajectory snapshot")
+    fig.tight_layout()
+    fig.savefig(os.path.join(here, "demo_cond_fields.png"), dpi=120)
+    plt.close(fig)
+
+    pooled_field_rmae = float(np.mean([
+        np.mean(t["field_rmae_mean"]) for t in per_traj]))
+    report = {
+        "protocol": {
+            "n_held": args.n_held, "n_sensors": args.n_sensors,
+            "n_ens": args.n_ens, "steps": args.steps,
+            "held_seed": args.seed, "grid": grid, "n_snap": n_snap,
+            "sensor_fraction": args.n_sensors / (grid * grid),
+            "guidance_scale": best_scale, "scale_sweep": sweep,
+        },
+        "per_trajectory": per_traj,
+        "sensor_rmae_pooled": float(np.mean([t["sensor_rmae"]
+                                             for t in per_traj])),
+        "sigma3_coverage_pooled": float(np.mean([t["sigma3_coverage"]
+                                                 for t in per_traj])),
+        "field_rmae_pooled": pooled_field_rmae,
+        "field_rmae_unconditional_control": uncond_rmae,
+        "conditioning_gain": uncond_rmae / max(pooled_field_rmae, 1e-9),
+        "spectra_relative_error": float(spec_err),
+        "integral_timescale_truth": tau_true,
+        "integral_timescale_conditional": tau_cond,
+        "timescale_ratio": tau_cond / tau_true,
+        "wall_clock_s": round(time.time() - t0, 1),
+    }
+    path = os.path.join(here, "demo_conditional.json")
+    with open(path, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report, indent=2))
+    print(f"report -> {path}")
+    print(f"plots  -> {here}/demo_cond_{{sensors,fields}}.png")
+
+
+if __name__ == "__main__":
+    main()

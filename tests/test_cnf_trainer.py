@@ -318,3 +318,29 @@ class TestLoadSizingAndNoopTrain:
         # restored state must be directly usable: one more epoch
         hp.epochs = 1
         tr2.train(log_formats=())
+
+    def test_eval_counts_every_sample_with_ragged_tail(self, tmp_path):
+        """test_batch_size not dividing N_samples must NOT drop the tail
+        from the reported rMAE (the reference evaluates the full set,
+        scripts/train.py:429-459): eval == direct full-set computation."""
+        hp = make_case(tmp_path, epochs=2)
+        hp.test_batch_size = 8          # N=16 -> override data to N=13 below
+        # rebuild the dataset with 13 snapshots (13 % 8 = 5 tail)
+        rng = np.random.default_rng(3)
+        t, n, c = 13, 120, 2
+        coords = rng.uniform(size=(n, 2)).astype(np.float32)
+        phase = rng.uniform(0, 2 * np.pi, size=(t, 1, 1))
+        fois = (np.sin(2 * np.pi * coords[None, :, :1] + phase)
+                * np.array([1.0, 0.5])).astype(np.float32)
+        np.save(tmp_path / "fois.npy", fois)
+        np.save(tmp_path / "coords.npy", coords)
+
+        tr = CNFTrainer(hp)
+        tr.train(log_formats=())
+        _, eval_rmae, _ = tr._build_train_fns(False)
+        got = np.asarray(eval_rmae(tr.state))
+
+        pred = np.asarray(tr.infer(tr.train_coord, tr.state.latents))
+        want = np.asarray(rMAE(jnp.asarray(pred), jnp.asarray(fois),
+                               dims=(1,))).mean(axis=0)
+        np.testing.assert_allclose(got, want, rtol=2e-5)

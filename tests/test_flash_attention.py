@@ -43,6 +43,78 @@ class TestFlashAttention:
         np.testing.assert_allclose(np.asarray(g_flash), np.asarray(g_ref),
                                    rtol=2e-4, atol=2e-5)
 
+
+    def test_all_gradients_match(self):
+        """dQ, dK, dV from the Pallas backward vs the jnp reference."""
+        n, d = 256, 32
+        q = jax.random.normal(jax.random.key(0), (2, n, d))
+        k = jax.random.normal(jax.random.key(1), (2, n, d))
+        v = jax.random.normal(jax.random.key(2), (2, n, d))
+        w = jax.random.normal(jax.random.key(3), (2, n, d))
+
+        gf = jax.grad(lambda q, k, v: jnp.sum(
+            flash_attention(q, k, v, 128, 128, True) * w), argnums=(0, 1, 2))(
+            q, k, v)
+        gr = jax.grad(lambda q, k, v: jnp.sum(
+            _reference_attention(q, k, v) * w), argnums=(0, 1, 2))(q, k, v)
+        for a, b, name in zip(gf, gr, "qkv"):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-5,
+                                       err_msg=f"d{name}")
+
+    def test_gradients_match_ragged_length(self):
+        """Backward must mask padded keys/queries (N not divisible by the
+        block): padded columns get zero softmax weight, padded query rows
+        contribute nothing to dK/dV."""
+        n, d = 200, 32   # pads to 256 with block 128
+        q = jax.random.normal(jax.random.key(0), (2, n, d))
+        k = jax.random.normal(jax.random.key(1), (2, n, d))
+        v = jax.random.normal(jax.random.key(2), (2, n, d))
+        w = jax.random.normal(jax.random.key(3), (2, n, d))
+
+        gf = jax.grad(lambda q, k, v: jnp.sum(
+            flash_attention(q, k, v, 128, 128, True) * w), argnums=(0, 1, 2))(
+            q, k, v)
+        gr = jax.grad(lambda q, k, v: jnp.sum(
+            _reference_attention(q, k, v) * w), argnums=(0, 1, 2))(q, k, v)
+        for a, b, name in zip(gf, gr, "qkv"):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-5,
+                                       err_msg=f"d{name}")
+
+    def test_backward_has_no_quadratic_intermediate(self):
+        """O(N) memory: the jaxpr of the VJP must not contain any (N, N)
+        attention-matrix intermediate — the two-pass recompute keeps P
+        blockwise inside the kernels (VERDICT r02 item 4)."""
+        n, d = 1024, 32
+        q = jax.random.normal(jax.random.key(0), (1, n, d))
+
+        def loss(q, k, v):
+            return jnp.sum(flash_attention(q, k, v, 256, 256, True))
+
+        jaxpr = jax.make_jaxpr(jax.grad(loss, argnums=(0, 1, 2)))(q, q, q)
+        for eqn in jaxpr.jaxpr.eqns:
+            for var in list(eqn.invars) + list(eqn.outvars):
+                shape = getattr(getattr(var, "aval", None), "shape", ())
+                assert not (len(shape) >= 2 and shape[-1] == n
+                            and shape[-2] == n), (
+                    f"O(N^2) intermediate {shape} in {eqn.primitive}")
+
+    def test_bf16_inputs(self):
+        n, d = 256, 64
+        mk = lambda s: jax.random.normal(jax.random.key(s), (2, n, d),
+                                         jnp.bfloat16)
+        q, k, v = mk(0), mk(1), mk(2)
+        ref = _reference_attention(q, k, v)
+        out = flash_attention(q, k, v, 128, 128, True)
+        assert out.dtype == jnp.bfloat16
+        np.testing.assert_allclose(np.asarray(out, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   rtol=2e-2, atol=2e-2)
+        g = jax.grad(lambda q: jnp.sum(
+            flash_attention(q, k, v, 128, 128, True).astype(jnp.float32)))(q)
+        assert g.dtype == jnp.bfloat16
+
     def test_unet_flash_matches_einsum(self):
         """AttentionBlock with use_flash must reproduce the einsum path."""
         from confild_tpu.models.unet import AttnSpec, _apply_attn, _init_layer
