@@ -136,8 +136,9 @@ def main():
 
     noiser = get_noise("clean")
 
-    def run_ensemble(operator, measurement, scale, steps, n_ens, seed):
-        cond = get_conditioning_method("ps", operator, noiser, scale=scale)
+    def run_ensemble(operator, measurement, scale, steps, n_ens, seed,
+                     method="ps"):
+        cond = get_conditioning_method(method, operator, noiser, scale=scale)
         sampler = create_sampler(
             sampler="ddpm", steps=1000, noise_schedule="cosine",
             timestep_respacing=str(steps) if steps != 1000 else None)
@@ -164,19 +165,38 @@ def main():
     def unnorm(samples):
         return (samples + 1.0) * (mx - mn) / 2.0 + mn
 
-    # --- [3/5] guidance-scale sweep on trajectory 0 (cheap respacing) ----
+    # --- [3/5] guidance tuning on trajectory 0 (the declared VALIDATION
+    # trajectory: full-field truth is used to pick (method, scale); held-out
+    # metrics below are pooled over the REMAINING trajectories only).
+    # Tuning runs at the full step count — DPS guidance strength compounds
+    # per step, so a scale tuned on a respaced sampler does not transfer. ---
     scales = [float(s) for s in args.scales.split(",")]
-    print(f"[3/5] tuning guidance scale on trajectory 0: {scales} ...")
+    cands = [("ps", s) for s in scales] + [("ps_linear_decay", 1.0)]
+    print(f"[3/5] tuning guidance on trajectory 0 ({args.steps} steps): "
+          f"{cands} ...")
     op0 = make_operator(full_coords[sensor_idx[0]], sensor_idx[0])
     sweep = {}
-    for s in scales:
-        samples, final_dist = run_ensemble(op0, measures[0], s, steps=100,
-                                           n_ens=4, seed=10)
-        sweep[s] = float(np.mean(final_dist))
-        print(f"      scale {s}: final sensor misfit "
-              f"{sweep[s]:.4f} ({time.time()-t0:.0f}s)")
-    best_scale = min(sweep, key=sweep.get)
-    print(f"      chosen scale: {best_scale}")
+    for method, s in cands:
+        samples, final_dist = run_ensemble(op0, measures[0], s,
+                                           steps=args.steps, n_ens=4,
+                                           seed=10, method=method)
+        fields = np.stack([decode_full(unnorm(x)) for x in samples])
+        frmae = float(np.mean(per_channel_rmae(fields.mean(0), held_flat[0])))
+        tau = float(np.mean([integral_timescale(
+            fields[e].reshape(n_snap, grid, grid, 2)[..., 0], 1.0)
+            for e in range(fields.shape[0])]))
+        sweep[f"{method}@{s}"] = {
+            "field_rmae": frmae,
+            "sensor_misfit": float(np.mean(final_dist)),
+            "timescale": tau,
+        }
+        print(f"      {method}@{s}: field rMAE {frmae:.4f}, sensor misfit "
+              f"{np.mean(final_dist):.3f}, timescale {tau:.2f} "
+              f"({time.time()-t0:.0f}s)")
+    best_key = min(sweep, key=lambda k: sweep[k]["field_rmae"])
+    best_method, best_scale = best_key.split("@")
+    best_scale = float(best_scale)
+    print(f"      chosen: {best_method} scale {best_scale}")
 
     # --- [4/5] full-step DPS reconstruction of every held-out traj -------
     print(f"[4/5] DPS reconstruction: {args.n_held} trajectories x "
@@ -187,7 +207,7 @@ def main():
         op = make_operator(full_coords[sensor_idx[i]], sensor_idx[i])
         samples, _ = run_ensemble(op, measures[i], best_scale,
                                   steps=args.steps, n_ens=args.n_ens,
-                                  seed=100 + i)
+                                  seed=100 + i, method=best_method)
         fields = np.stack([decode_full(unnorm(s)) for s in samples])
         ens_fields.append(fields)
         mean_f = fields.mean(0)
@@ -201,12 +221,20 @@ def main():
                             / np.mean(np.abs(tr_true)))
         field_rmae = [float(x) for x in per_channel_rmae(
             mean_f, held_flat[i])]
-        per_traj.append({"traj": i, "sensor_rmae": sensor_rmae,
+        member_rmae = float(np.mean([np.mean(per_channel_rmae(
+            fields[e], held_flat[i])) for e in range(fields.shape[0])]))
+        rel_l2 = float(np.linalg.norm(mean_f - held_flat[i])
+                       / np.linalg.norm(held_flat[i]))
+        per_traj.append({"traj": i, "role": "validation" if i == 0
+                         else "held_out",
+                         "sensor_rmae": sensor_rmae,
                          "sigma3_coverage": cover,
-                         "field_rmae_mean": field_rmae})
+                         "field_rmae_mean": field_rmae,
+                         "field_rmae_per_member": member_rmae,
+                         "field_rel_l2_mean": rel_l2})
         print(f"      traj {i}: sensor rMAE {sensor_rmae:.4f}, 3sigma "
-              f"coverage {cover:.3f}, field rMAE {field_rmae} "
-              f"({time.time()-t0:.0f}s)")
+              f"coverage {cover:.3f}, field rMAE {field_rmae}, "
+              f"member rMAE {member_rmae:.4f} ({time.time()-t0:.0f}s)")
     ens_fields = np.stack(ens_fields)
 
     # control: unconditional ensemble scored against the same truth
@@ -295,19 +323,28 @@ def main():
 
     pooled_field_rmae = float(np.mean([
         np.mean(t["field_rmae_mean"]) for t in per_traj]))
+    # trajectory 0 tuned (method, scale) on its full-field truth -> exclude
+    # it from the held-out pool
+    held_out = [t for t in per_traj if t["role"] == "held_out"] or per_traj
     report = {
         "protocol": {
             "n_held": args.n_held, "n_sensors": args.n_sensors,
             "n_ens": args.n_ens, "steps": args.steps,
             "held_seed": args.seed, "grid": grid, "n_snap": n_snap,
             "sensor_fraction": args.n_sensors / (grid * grid),
-            "guidance_scale": best_scale, "scale_sweep": sweep,
+            "guidance_method": best_method,
+            "guidance_scale": best_scale, "tuning_sweep": sweep,
+            "tuning_trajectory": 0,
         },
         "per_trajectory": per_traj,
         "sensor_rmae_pooled": float(np.mean([t["sensor_rmae"]
-                                             for t in per_traj])),
+                                             for t in held_out])),
         "sigma3_coverage_pooled": float(np.mean([t["sigma3_coverage"]
-                                                 for t in per_traj])),
+                                                 for t in held_out])),
+        "field_rmae_held_out": float(np.mean([
+            np.mean(t["field_rmae_mean"]) for t in held_out])),
+        "field_rmae_per_member_held_out": float(np.mean([
+            t["field_rmae_per_member"] for t in held_out])),
         "field_rmae_pooled": pooled_field_rmae,
         "field_rmae_unconditional_control": uncond_rmae,
         "conditioning_gain": uncond_rmae / max(pooled_field_rmae, 1e-9),
