@@ -234,8 +234,26 @@ class CNFTrainer:
     # -- state --------------------------------------------------------------
 
     def _optimizers(self):
-        opt_nf = optax.adam(self.hp.lr["nf"])
-        opt_lat = optax.adam(self.hp.lr["latents"])
+        """Adam pair; optional cosine-decay tails (``lr.nf_end`` /
+        ``lr.latents_end`` + ``lr.decay_epochs``) — the per-batch latent Adam
+        at a fixed lr never settles, leaving a latent-jitter noise floor in
+        the decoder fit (the reference ships ``CyclicCosineDecayLR`` for the
+        same reason, ``cnf/utils/train.py:556-676``).  Decay counts optimizer
+        steps: per-epoch for the decoder, per-batch for latents."""
+        lr = self.hp.lr
+        n_batches = max(self.N_samples // self.hp.batch_size, 1)
+
+        def _sched(init, end, steps):
+            if end is None:
+                return init
+            return optax.cosine_decay_schedule(init, max(steps, 1),
+                                               alpha=end / init)
+
+        decay_epochs = lr.get("decay_epochs", self.hp.epochs) \
+            if isinstance(lr, dict) else self.hp.epochs
+        opt_nf = optax.adam(_sched(lr["nf"], lr.get("nf_end"), decay_epochs))
+        opt_lat = optax.adam(_sched(lr["latents"], lr.get("latents_end"),
+                                    decay_epochs * n_batches))
         return opt_nf, opt_lat
 
     def init_state(self, key=None) -> CNFTrainState:

@@ -96,6 +96,25 @@ def main():
                          "diffusion stage on the improved latents)")
     ap.add_argument("--diff-steps", type=int, default=None,
                     help="stage-2 diffusion training steps")
+    ap.add_argument("--n-traj", type=int, default=None,
+                    help="number of simulated trajectories (default 64)")
+    ap.add_argument("--decoder-from", default=None,
+                    help="bootstrap the SIREN decoder + normalizers from an "
+                         "existing cnf run dir (siren_only load); latents "
+                         "for the current dataset start fresh")
+    ap.add_argument("--fix-nf-epochs", type=int, default=0,
+                    help="latent-only (frozen decoder) epochs before the "
+                         "joint --cnf-epochs; with --decoder-from this "
+                         "also measures CNF generalization to new data")
+    ap.add_argument("--latent-lr-end", type=float, default=None,
+                    help="cosine-decay the latent lr to this value (the "
+                         "per-batch latent Adam at fixed lr leaves a "
+                         "latent-jitter noise floor)")
+    ap.add_argument("--nf-lr", type=float, default=1e-4)
+    ap.add_argument("--nf-lr-end", type=float, default=None)
+    ap.add_argument("--cnf-run-dir", default="cnf_run",
+                    help="stage-1 run subdir (use a fresh one when "
+                         "retraining with different hyperparameters)")
     args = ap.parse_args()
 
     import jax
@@ -119,6 +138,8 @@ def main():
     os.makedirs(out_dir, exist_ok=True)
 
     n_traj, n_snap, grid = (4, 16, 32) if args.fast else (64, 64, 64)
+    if args.n_traj is not None:
+        n_traj = args.n_traj
     latent = 32 if args.fast else 64
     cnf_epochs = (args.cnf_epochs if args.cnf_epochs is not None
                   else (40 if args.fast else 2500))
@@ -141,10 +162,18 @@ def main():
     print(f"      data {fields.shape}, {time.time()-t0:.0f}s")
 
     print("[2/5] stage 1: CNF auto-decoding fit ...")
+    lr_block = {"nf": args.nf_lr, "latents": 1e-2}
+    total_epochs = args.fix_nf_epochs + cnf_epochs
+    if args.latent_lr_end is not None:
+        lr_block["latents_end"] = args.latent_lr_end
+        lr_block["decay_epochs"] = total_epochs
+    if args.nf_lr_end is not None:
+        lr_block["nf_end"] = args.nf_lr_end
+        lr_block["decay_epochs"] = total_epochs
     recipe = {
         "data_path": os.path.join(out_dir, "fois.npy"),
         "coor_path": os.path.join(out_dir, "coords.npy"),
-        "save_path": os.path.join(out_dir, "cnf_run"),
+        "save_path": os.path.join(out_dir, args.cnf_run_dir),
         "lumped_latent": True,
         "normalizer": {"method": "-11", "dim": 0},
         "batch_size": 128 if not args.fast else 64,
@@ -155,14 +184,51 @@ def main():
         "dims": 2,
         "NF": {"name": "SIRENAutodecoder_film", "num_hidden_layers": 4,
                "out_features": 2, "hidden_features": 128},
-        "lr": {"nf": 1e-4, "latents": 1e-2},
+        "lr": lr_block,
     }
     cnf_yml = os.path.join(out_dir, "cnf.yml")
     with open(cnf_yml, "w") as f:
         yaml.safe_dump(recipe, f)
-    hp = cfg.basic_input(cnf_yml)
-    tr = CNFTrainer(hp)
-    tr.load(-1)
+
+    if args.decoder_from:
+        # bootstrap: reuse the donor run's normalizers (the decoder was
+        # trained against them) and its newest decoder checkpoint
+        import dataclasses
+        import shutil
+        from confild_tpu.io import checkpoint as ckpt_io
+        os.makedirs(recipe["save_path"], exist_ok=True)
+        npz = os.path.join(args.decoder_from, "normalizer_params.ckpt")
+        shutil.copy(npz, os.path.join(recipe["save_path"],
+                                      "normalizer_params.ckpt"))
+        donor = ckpt_io.latest_checkpoint(args.decoder_from)
+        tgt = os.path.join(recipe["save_path"],
+                           f"checkpoint_{donor[1]}.ckpt")
+        if not os.path.exists(tgt):
+            shutil.copy(donor[0], tgt)
+        hp = cfg.basic_input(cnf_yml)
+        tr = CNFTrainer(hp)
+        tr.load(-1, siren_only=True)
+        # fresh optimizer states: the donor's optimizer pytrees do not
+        # carry the (possibly schedule-bearing) structure of this run
+        opt_nf, opt_lat = tr._optimizers()
+        tr.state = dataclasses.replace(
+            tr.state, opt_nf_state=opt_nf.init(tr.state.nf_params),
+            opt_lat_state=opt_lat.init(tr.state.latents))
+    else:
+        hp = cfg.basic_input(cnf_yml)
+        tr = CNFTrainer(hp)
+        tr.load(-1)
+
+    if args.fix_nf_epochs:
+        # latent-only fit against the frozen decoder; on fresh trajectories
+        # this measures CNF generalization (the achievable-latent "oracle")
+        hp.epochs = args.fix_nf_epochs
+        tr.train(fix_nf=True, log_formats=())
+        _, eval_rmae, _ = tr._train_fns
+        oracle = np.asarray(eval_rmae(tr.state))
+        print(f"      latent-only (frozen decoder) rMAE: {oracle} "
+              f"({time.time()-t0:.0f}s)")
+        hp.epochs = cnf_epochs
     tr.train(log_formats=())
 
     n_eval = min(4 * n_snap, n_traj * n_snap)

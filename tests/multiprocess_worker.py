@@ -31,6 +31,7 @@ def main():
 
     import numpy as np
     from confild_tpu.diffusion import create_gaussian_diffusion
+    from confild_tpu.diffusion.resample import LossSecondMomentResampler
     from confild_tpu.models import unet as junet
     from confild_tpu.train.diffusion_trainer import TrainLoop
     from confild_tpu.utils import logger as tlog
@@ -50,9 +51,12 @@ def main():
         while True:
             yield rng.normal(size=(batch_size, 1, 8, 8)).astype(np.float32), {}
 
+    sampler = LossSecondMomentResampler(diffusion.num_timesteps,
+                                        history_per_term=2)
     loop = TrainLoop(
         model=model, diffusion=diffusion, data=data_iter(),
         batch_size=batch_size, lr=1e-3, ema_rate="0.9",
+        schedule_sampler=sampler,
         save_interval=10**9, save_dir=os.path.join(tmp, "ckpts"), mesh=mesh)
 
     batch, _ = next(loop.data)
@@ -68,10 +72,21 @@ def main():
     ckpt = os.path.join(tmp, "ckpts", "model000002.ckpt")
     assert os.path.isdir(ckpt), "multi-process save should be an Orbax dir"
 
+    # the loss-aware sampler state must be DETERMINISTIC and replicated:
+    # every process holds the identical state (the design constraint the
+    # reference meets with an all_gather, resample.py:106-121); dump it for
+    # the parent test to compare across processes
+    samp = {f"s{i}": np.asarray(jax.device_get(x))
+            for i, x in enumerate(jax.tree.leaves(loop.state.sampler_state))}
+    assert any(v.any() for v in samp.values()), "sampler state never updated"
+    np.savez(os.path.join(tmp, f"sampler_state_proc{proc_id}.npz"), **samp)
+
     # restore into a fresh loop and verify bitwise param equality
     loop2 = TrainLoop(
         model=model, diffusion=diffusion, data=data_iter(),
         batch_size=batch_size, lr=1e-3, ema_rate="0.9",
+        schedule_sampler=LossSecondMomentResampler(diffusion.num_timesteps,
+                                                   history_per_term=2),
         save_interval=10**9, resume_checkpoint=ckpt,
         save_dir=os.path.join(tmp, "ckpts"), mesh=mesh)
     assert loop2.resume_step == 2
@@ -80,6 +95,11 @@ def main():
         la = np.asarray(jax.device_get(a))
         lb = np.asarray(jax.device_get(b))
         np.testing.assert_array_equal(la, lb)
+    # EMA state must survive the save/restore round trip too
+    for a, b in zip(jax.tree.leaves(loop.state.ema_params),
+                    jax.tree.leaves(loop2.state.ema_params)):
+        np.testing.assert_array_equal(np.asarray(jax.device_get(a)),
+                                      np.asarray(jax.device_get(b)))
 
     # one more step after resume proves the restored state is usable
     loop2.run_step(next(loop2.data)[0])

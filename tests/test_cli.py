@@ -240,3 +240,34 @@ class TestConditionalCLI:
         assert np.all(np.isfinite(out))
         # noiser applied exactly once to the measurements, with a key
         assert True in noiser_calls
+
+
+class TestConditionalEvidence:
+    """The committed conditional-DPS physics-experiment artifact
+    (``examples/demo_conditional.json``, produced by
+    ``examples/demo_conditional.py``) must exist and pass its own
+    acceptance gates (reference notebook cells 33-39 acceptance criteria:
+    sensor traces reproduced inside the ensemble +-3 sigma band)."""
+
+    def test_conditional_report_gates(self):
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "examples",
+            "demo_conditional.json")
+        assert os.path.exists(path), (
+            "run examples/demo_conditional.py to produce the conditional "
+            "evidence artifact")
+        with open(path) as f:
+            rep = json.load(f)
+        # protocol sanity: held-out trajectories, sparse sensors, ensembles
+        assert rep["protocol"]["n_held"] >= 4
+        assert rep["protocol"]["sensor_fraction"] < 0.05
+        assert rep["protocol"]["n_ens"] >= 4
+        assert rep["protocol"]["held_seed"] != 0   # disjoint from training
+        # acceptance gates: sensors reproduced, band calibrated
+        assert rep["sensor_rmae_pooled"] < 0.3, rep["sensor_rmae_pooled"]
+        assert rep["sigma3_coverage_pooled"] > 0.9
+        # reconstruction must beat the unconditional control
+        assert (rep["field_rmae_held_out"]
+                < rep["field_rmae_unconditional_control"])
+        for t in rep["per_trajectory"]:
+            assert t["sigma3_coverage"] > 0.85

@@ -22,7 +22,11 @@ def _free_port() -> int:
 
 
 @pytest.mark.slow
-def test_two_process_train_save_restore(tmp_path):
+@pytest.mark.parametrize("nprocs", [2, 4])
+def test_multi_process_train_save_restore(tmp_path, nprocs):
+    """2 and 4 OS processes x 2 virtual devices (4- and 8-device global
+    meshes): sharded steps, deterministic loss-aware sampler state on every
+    process, collective Orbax save, EMA + param restore round trip."""
     port = _free_port()
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
@@ -30,10 +34,10 @@ def test_two_process_train_save_restore(tmp_path):
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.join(HERE, "multiprocess_worker.py"),
-             str(i), "2", str(port), str(tmp_path)],
+             str(i), str(nprocs), str(port), str(tmp_path)],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True)
-        for i in range(2)
+        for i in range(nprocs)
     ]
     outs = []
     for p in procs:
@@ -52,3 +56,14 @@ def test_two_process_train_save_restore(tmp_path):
         assert f"proc {i} OK" in out
     # rank-suffixed log file written by process 1
     assert os.path.exists(tmp_path / "logs" / "log-rank001.txt")
+
+    # the loss-aware sampler state is replicated-deterministic: identical
+    # on every process (reference requirement, resample.py:106-121)
+    import numpy as np
+    ref = np.load(tmp_path / "sampler_state_proc0.npz")
+    for i in range(1, nprocs):
+        other = np.load(tmp_path / f"sampler_state_proc{i}.npz")
+        assert set(ref.files) == set(other.files)
+        for k in ref.files:
+            np.testing.assert_array_equal(ref[k], other[k],
+                                          err_msg=f"proc {i} key {k}")
