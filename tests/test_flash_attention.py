@@ -228,6 +228,69 @@ class TestUNetRingPlumbing:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=3e-5, atol=3e-5)
 
+    @pytest.mark.slow
+    def test_seq_parallel_unet_at_production_token_count(self):
+        """Ring attention inside the FULL UNet at a token count where it
+        matters: 96x96 latent image with attention at ds1 = 9216 tokens,
+        past the default RING_MIN_TOKENS=8192 gate (no test override), vs
+        the single-device dense path.  This is the `case4_xl_768`-scale
+        regime (768^2 image, attention res 96 -> ds8 -> 9216 tokens) the
+        reference cannot reach with its O(N^2) flatten-all-positions
+        attention (`src/unet.py:299-305`)."""
+        from confild_tpu.models import unet as junet
+        from confild_tpu.parallel import mesh as pmesh
+
+        mesh = pmesh.get_mesh(8)
+        kw = dict(image_size=96, num_channels=16, num_res_blocks=1,
+                  channel_mult="1", attention_resolutions="96",
+                  num_heads=1, out_channels=1)
+        plain = junet.create_model(**kw)
+        ring = junet.create_model(**kw, sequence_parallel_mesh=mesh)
+        assert ring.ring_min_tokens == junet.RING_MIN_TOKENS  # no override
+
+        params = plain.init(jax.random.key(0))
+        x = jax.random.normal(jax.random.key(1), (1, 1, 96, 96))
+        t = jnp.array([5], jnp.int32)
+
+        ref = plain.apply(params, x, t)
+        out = jax.jit(ring.apply)(params, x, t)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=5e-5, atol=5e-5)
+
+    def test_xl_recipe_auto_enables_flash_at_scale(self):
+        """`recipes/diffusion/case4_xl_768.yml` (additive beyond-reference
+        recipe) must auto-enable the O(N)-memory flash kernel exactly at the
+        blocks whose token count crosses FLASH_MIN_TOKENS: ds8 -> 9216
+        tokens (flash), ds16 -> 2304 and ds32 -> 576 (dense)."""
+        import os
+        import yaml
+
+        from confild_tpu.models import unet as junet
+
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        path = os.path.join(repo_root, "recipes", "diffusion",
+                            "case4_xl_768.yml")
+        hp = yaml.safe_load(open(path))
+        model = junet.create_model(
+            image_size=hp["image_size"], num_channels=hp["num_channels"],
+            num_res_blocks=hp["num_res_blocks"],
+            channel_mult=hp["channel_mult"],
+            attention_resolutions=str(hp["attention_resolutions"]),
+            num_heads=hp["num_heads"],
+            num_head_channels=hp["num_head_channels"],
+            use_flash_attention=hp["use_flash_attention"],  # null -> auto
+            use_checkpoint=hp["use_checkpoint"])
+
+        flash_flags = [spec.use_flash
+                       for block in (*model.plan.input_blocks,
+                                     model.plan.middle_block,
+                                     *model.plan.output_blocks)
+                       for spec in block
+                       if isinstance(spec, junet.AttnSpec)]
+        assert any(flash_flags), "no attention block auto-enabled flash"
+        assert not all(flash_flags), \
+            "sub-threshold blocks (ds16/ds32) must stay on the dense path"
+
     def test_ring_skips_indivisible_token_counts(self):
         """Token counts not divisible by the mesh fall back to the local
         path instead of asserting."""
