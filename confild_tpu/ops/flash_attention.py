@@ -87,7 +87,10 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
     @pl.when(kb == nk - 1)
     def _finish():
         o_ref[0] = (acc_scr[...] / l_scr[...]).astype(o_ref.dtype)
-        lse_ref[0] = (m_scr[...] + jnp.log(l_scr[...]))[:, 0]
+        # (Bq, 1) trailing unit lane dim: TPU block shapes require the last
+        # two dims to be (8,128)-divisible or equal to the array dims; a
+        # (1, block_q) row block is neither, a (1, block_q, 1) block is
+        lse_ref[0] = m_scr[...] + jnp.log(l_scr[...])
 
 
 def _pad_axis(x, axis, mult):
@@ -128,12 +131,12 @@ def _flash_forward(q, k, v, block_q: int, block_k: int, interpret: bool):
         out_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q), lambda b, i, j: (b, i),
+            pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, nq_pad, d), q.dtype),
-            jax.ShapeDtypeStruct((bh, nq_pad), jnp.float32),
+            jax.ShapeDtypeStruct((bh, nq_pad, 1), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_q, 1), jnp.float32),
@@ -144,7 +147,7 @@ def _flash_forward(q, k, v, block_q: int, block_k: int, interpret: bool):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )(qp, kp, vp)
-    return out[:, :n, :], lse[:, :n]
+    return out[:, :n, :], lse[:, :n, 0]
 
 
 # ---------------------------------------------------------------------------
@@ -164,8 +167,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
     k = k_ref[0]
     v = v_ref[0]
     do = do_ref[0]
-    lse = lse_ref[0][:, None]                 # (Bq, 1)
-    delta = delta_ref[0][:, None]             # (Bq, 1)
+    lse = lse_ref[0]                          # (Bq, 1)
+    delta = delta_ref[0]                      # (Bq, 1)
 
     s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
     if masked:
@@ -195,8 +198,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     k = k_ref[0]
     v = v_ref[0]
     do = do_ref[0]
-    lse = lse_ref[0][:, None]
-    delta = delta_ref[0][:, None]
+    lse = lse_ref[0]                          # (Bq, 1)
+    delta = delta_ref[0]                      # (Bq, 1)
 
     s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
     if masked:
@@ -222,9 +225,12 @@ def _flash_backward(q, k, v, out, lse, g, block_q: int, block_k: int,
     bh, n, d = q.shape
     scale = 1.0 / np.sqrt(d)
 
-    # D_i = rowsum(dO * O): the only O(N)-sized residual beyond the logsumexp
+    # D_i = rowsum(dO * O): the only O(N)-sized residual beyond the logsumexp.
+    # Row stats travel as (BH, N, 1): TPU block shapes need the last two dims
+    # (8,128)-divisible or equal to the array dims, which a (1, block_q, 1)
+    # block satisfies and a (1, block_q) row block does not.
     delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32),
-                    axis=-1)                                     # (BH, N)
+                    axis=-1)[..., None]                          # (BH, N, 1)
 
     qp = _pad_axis(q, 1, block_q)
     dop = _pad_axis(g, 1, block_q)
@@ -232,7 +238,7 @@ def _flash_backward(q, k, v, out, lse, g, block_q: int, block_k: int,
     vp = _pad_axis(v, 1, block_k)
     # padded QUERY rows must contribute zero to dK/dV: exp(s - lse) with
     # lse = +inf gives p = 0 for the whole padded row
-    lsep = _pad_axis(lse, 1, block_q)
+    lsep = _pad_axis(lse[..., None], 1, block_q)
     if lsep.shape[1] != n:
         lsep = lsep.at[:, n:].set(jnp.inf)
     deltap = _pad_axis(delta, 1, block_q)
@@ -244,7 +250,7 @@ def _flash_backward(q, k, v, out, lse, g, block_q: int, block_k: int,
                             memory_space=pltpu.VMEM)
     k_spec_j = pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0),
                             memory_space=pltpu.VMEM)
-    row_spec_i = pl.BlockSpec((1, block_q), lambda b, i, j: (b, i),
+    row_spec_i = pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0),
                               memory_space=pltpu.VMEM)
 
     dq = pl.pallas_call(
@@ -268,7 +274,7 @@ def _flash_backward(q, k, v, out, lse, g, block_q: int, block_k: int,
                             memory_space=pltpu.VMEM)
     k_spec_i = pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, i, 0),
                             memory_space=pltpu.VMEM)
-    row_spec_j = pl.BlockSpec((1, block_q), lambda b, i, j: (b, j),
+    row_spec_j = pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, j, 0),
                               memory_space=pltpu.VMEM)
 
     dk, dv = pl.pallas_call(
