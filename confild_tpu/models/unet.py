@@ -136,8 +136,11 @@ class UNetPlan:
     out_ch_final: int
 
 
-# token count at which the Pallas flash kernel overtakes XLA's O(N^2)
-# attention (measured on v5e: 1.1x at 9216/16384, below parity under 4096)
+# token count at which the Pallas flash kernel's O(N) memory starts to
+# matter: past it, the dense path's saved (BH, N, N) softmax weights (the
+# VJP residual) reach GB scale per attention block and crowd out HBM.
+# Below it dense XLA attention is both faster (measured on v5e at 2304 and
+# 9216 tokens with the current kernel) and small enough to keep.
 FLASH_MIN_TOKENS = 8192
 
 
@@ -534,11 +537,12 @@ def create_model(
 
     flash_auto = use_flash_attention is None
     if flash_auto:
-        # auto: measured on TPU v5e, the Pallas blockwise kernel overtakes
-        # XLA's O(N^2) attention at ~9k tokens (FLASH_MIN_TOKENS); its O(N)
-        # memory is what enables latent images beyond the reference's 384^2.
-        # build_plan applies the threshold PER BLOCK; this flag records
-        # whether any block crosses it.
+        # auto: the Pallas blockwise kernel's O(N) memory (no (BH, N, N)
+        # VJP residual) is what enables latent images beyond the
+        # reference's 384^2; below FLASH_MIN_TOKENS dense XLA attention is
+        # faster and small enough to keep. build_plan applies the
+        # threshold PER BLOCK; this flag records whether any block
+        # crosses it.
         def _tokens(ds):
             n = image_size // ds
             return image_size * n * n if dims == 3 else n ** dims
