@@ -131,6 +131,31 @@ class TestCNFTrainer:
         assert out.shape == (2, h, w, c)
 
 
+class TestLrDecayTail:
+    def test_latent_lr_tail_quiets_late_updates(self, tmp_path):
+        """``lr.latents_end`` cosine-decays the per-batch latent Adam (the
+        fixed-lr latent jitter is the CNF noise floor; the reference ships
+        ``CyclicCosineDecayLR`` for the same purpose,
+        ``cnf/utils/train.py:556-676``): with a ~zero tail, late-epoch
+        latent movement must be far below the undecayed trainer's."""
+        def late_move(extra):
+            hp = make_case(tmp_path, epochs=30, **extra)
+            tr = CNFTrainer(hp)
+            tr.load(-1)
+            tr.train(log_formats=())
+            before = np.asarray(tr.state.latents).copy()
+            hp.epochs = 5
+            tr.train(log_formats=())  # resumes: 5 more epochs at the tail
+            return float(np.abs(np.asarray(tr.state.latents) - before).max())
+
+        moved_flat = late_move({"save_path": str(tmp_path / "run_flat")})
+        moved_tail = late_move({
+            "save_path": str(tmp_path / "run_tail"),
+            "lr": {"nf": 1.0e-4, "latents": 1.0e-3,
+                   "latents_end": 1.0e-8, "decay_epochs": 30}})
+        assert moved_tail < 0.2 * moved_flat, (moved_tail, moved_flat)
+
+
 class TestExtraSirenIn:
     def test_parametric_cnf_trains(self, tmp_path):
         """extra_siren_in: (t, n_extra, N, c) data with a scalar parameter
