@@ -145,6 +145,7 @@ def _flash_forward(q, k, v, block_q: int, block_k: int, interpret: bool):
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
     )(qp, kp, vp)
     return out[:, :n, :], lse[:, :n, 0]
@@ -266,6 +267,7 @@ def _flash_backward(q, k, v, out, lse, g, block_q: int, block_k: int,
         scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
     )(qp, kp, vp, dop, lsep, deltap)
 
@@ -298,6 +300,7 @@ def _flash_backward(q, k, v, out, lse, g, block_q: int, block_k: int,
                         pltpu.VMEM((block_k, d), jnp.float32)],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
     )(qp, kp, vp, dop, lsep, deltap)
 
