@@ -303,14 +303,25 @@ class CNFTrainer:
         extra = (jnp.asarray(self.normed_extra)
                  if self.extra_siren_in is not None else None)
 
+        # Operands ride as jit ARGUMENTS, never closure constants: a
+        # closed-over concrete array is inlined into the serialized HLO, and
+        # at production scale (e.g. 268 MB of targets for 128 trajectories)
+        # that blows the compile payload and bloats every recompile.  The
+        # wrappers returned below bind `data` so callers keep the old
+        # run_chunk(state, perms, epoch_ids) / eval_rmae(state) signatures.
+        data = {"coords": coords, "fois": fois}
+        if extra is not None:
+            data["extra"] = extra
+
         # fused-decode operands: flat (M, dims) coords and (n, M, c) targets
         # (loss over flattened spatial points equals loss over the grid)
         if self.use_fused_decode:
-            flat_coords = coords.reshape(-1, coords.shape[-1])
-            flat_fois = fois.reshape(fois.shape[0], -1, fois.shape[-1])
+            data["flat_coords"] = coords.reshape(-1, coords.shape[-1])
+            data["flat_fois"] = fois.reshape(fois.shape[0], -1,
+                                             fois.shape[-1])
             w0 = float(self.model.config.w0)
 
-            def fused_decode(nf_params, lat_rows):
+            def fused_decode(nf_params, lat_rows, flat_coords):
                 from confild_tpu.ops.siren_decode import (
                     fused_siren_decode_train)
                 return fused_siren_decode_train(nf_params, flat_coords,
@@ -324,33 +335,34 @@ class CNFTrainer:
                 from jax.sharding import PartitionSpec as P
                 fused_decode = jax.shard_map(
                     fused_decode, mesh=self.mesh,
-                    in_specs=(P(), P(pmesh.DATA_AXIS)),
+                    in_specs=(P(), P(pmesh.DATA_AXIS), P()),
                     out_specs=P(pmesh.DATA_AXIS),
                     check_vma=False)  # pallas_call declares no vma info
 
-        def batch_loss(nf_params, latents, idx):
+        def batch_loss(nf_params, latents, idx, data):
             if extra is not None:
                 rows = self.expand_latents(latents[idx])
                 # idx -> (trajectory, extra) pair (reference basic_set :34-38)
-                ex = extra[idx % self.n_extra].reshape(
+                ex = data["extra"][idx % self.n_extra].reshape(
                     (idx.shape[0],) + (1,) * (len(self.spatio_shape) + 1))
-                out = self.model(nf_params, (coords, ex), rows)
-                return loss_fn(out, fois[idx])
+                out = self.model(nf_params, (data["coords"], ex), rows)
+                return loss_fn(out, data["fois"][idx])
             if self.use_fused_decode:
-                out = fused_decode(nf_params, latents[idx])
-                return loss_fn(out, flat_fois[idx])
+                out = fused_decode(nf_params, latents[idx],
+                                   data["flat_coords"])
+                return loss_fn(out, data["flat_fois"][idx])
             rows = self.expand_latents(latents[idx])
-            out = self.model(nf_params, coords, rows)
-            return loss_fn(out, fois[idx])
+            out = self.model(nf_params, data["coords"], rows)
+            return loss_fn(out, data["fois"][idx])
 
-        def _run_epoch(state: CNFTrainState, perm):
+        def _run_epoch(state: CNFTrainState, perm, data):
             """One epoch = scan over batches.  Decoder step happens OUTSIDE
             (cadence: once per epoch, reference :399-401)."""
 
             def one_batch(carry, idx):
                 latents, opt_lat_state, nf_accum = carry
                 loss, (g_lat, g_nf) = jax.value_and_grad(
-                    lambda lat, nf: batch_loss(nf, lat, idx),
+                    lambda lat, nf: batch_loss(nf, lat, idx, data),
                     argnums=(0, 1))(latents, state.nf_params)
                 updates, opt_lat_state = opt_lat.update(g_lat, opt_lat_state,
                                                         latents)
@@ -374,7 +386,7 @@ class CNFTrainer:
                 nf_grad_accum=jax.tree.map(jnp.zeros_like, state.nf_grad_accum))
 
         @partial(jax.jit, donate_argnums=(0,))
-        def run_chunk(state: CNFTrainState, perms, epoch_ids):
+        def run_chunk_impl(state: CNFTrainState, perms, epoch_ids, data):
             """Several epochs in ONE program: scan over (perm, epoch) pairs,
             applying the decoder step between epochs (skipped at the global
             epoch 0, reference :399-401).  Amortizes per-call dispatch."""
@@ -384,9 +396,12 @@ class CNFTrainer:
                 if not fix_nf:
                     state = jax.lax.cond(e != 0, _apply_nf_step,
                                          lambda s: s, state)
-                return _run_epoch(state, perm)
+                return _run_epoch(state, perm, data)
 
             return jax.lax.scan(epoch_body, state, (perms, epoch_ids))
+
+        def run_chunk(state, perms, epoch_ids):
+            return run_chunk_impl(state, perms, epoch_ids, data)
 
         # evaluation streams test_batch_size-sized chunks (the full dataset
         # at once would not fit HBM for the production cases); eval rides the
@@ -401,26 +416,32 @@ class CNFTrainer:
         flat_criteria = partial(TEST_CRITERIA[hp.test_criteria], dims=(1,))
 
         @jax.jit
-        def eval_rmae(state: CNFTrainState):
+        def eval_rmae_impl(state: CNFTrainState, data):
             def one(idx):
                 if extra is None and self.use_fused_decode:
-                    pred = fused_decode(state.nf_params, state.latents[idx])
+                    pred = fused_decode(state.nf_params, state.latents[idx],
+                                        data["flat_coords"])
                     return flat_criteria(denorm(pred),
-                                         denorm(flat_fois[idx]))
+                                         denorm(data["flat_fois"][idx]))
                 rows = self.expand_latents(state.latents[idx])
                 if extra is not None:
-                    ex = extra[idx % self.n_extra].reshape(
+                    ex = data["extra"][idx % self.n_extra].reshape(
                         (idx.shape[0],) + (1,) * (len(self.spatio_shape) + 1))
-                    pred = self.model(state.nf_params, (coords, ex), rows)
+                    pred = self.model(state.nf_params,
+                                      (data["coords"], ex), rows)
                 else:
-                    pred = self.model(state.nf_params, coords, rows)
-                return self.test_criteria(denorm(pred), denorm(fois[idx]))
+                    pred = self.model(state.nf_params, data["coords"], rows)
+                return self.test_criteria(denorm(pred),
+                                          denorm(data["fois"][idx]))
 
             flat_idx = jnp.minimum(jnp.arange(n_chunks * eval_bs), n - 1)
             errs = jax.lax.map(one, flat_idx.reshape(-1, eval_bs))
             errs = errs.reshape(-1, errs.shape[-1])       # (padded N, C)
             valid = (jnp.arange(n_chunks * eval_bs) < n)[:, None]
             return (errs * valid).sum(axis=0) / jnp.sum(valid)
+
+        def eval_rmae(state):
+            return eval_rmae_impl(state, data)
 
         return run_chunk, eval_rmae, shard_perm
 
