@@ -282,8 +282,16 @@ def main():
     mesh_coords = jax.random.uniform(jax.random.key(5), (n_mesh_pts, 3))
     rows_384 = jax.random.normal(jax.random.key(6),
                                  (size, width)) * 0.1
-    decode_full = jax.jit(
-        lambda p, c, z: sd.fused_siren_decode(p, c, z))
+    # stream the decode in row chunks like the production `decoder`
+    # (inference.py): all 384 rows at once would materialize a
+    # rows x points x hidden activation (~48 GiB) and OOM HBM
+    row_chunk = 16
+    assert size % row_chunk == 0
+
+    @jax.jit
+    def decode_full(p, c, z):
+        zc = z.reshape(size // row_chunk, row_chunk, z.shape[-1])
+        return jax.lax.map(lambda zk: sd.fused_siren_decode(p, c, zk), zc)
     # warm both programs, then time one full sample end-to-end
     jax.block_until_ready(run_full_sample(params, cparams, img))
     jax.block_until_ready(decode_full(cparams, mesh_coords, rows_384))
