@@ -153,14 +153,21 @@ def group_norm(params: dict, x: jnp.ndarray, num_groups: int = 32,
         s2.reshape(b, g, c // g).sum(-1, keepdims=True) / n - mean * mean,
         0.0)
     inv = jax.lax.rsqrt(var + eps)
-    # fold everything into one fused multiply-add pass: y = x*A + B
+    # fold everything into one fused multiply-add pass: y = x*A + B.
+    # The (A, B) coefficients are computed in f32 from the f32 moments,
+    # but the per-element pass consumes x in its ORIGINAL dtype: feeding
+    # xf twice (reductions + affine) makes XLA materialize the full-res
+    # f32 activation — profiled at ~3 ms/step of f32 copies/pads on the
+    # Case4 guided step.  The affine's inputs/output round to bf16 either
+    # way, so applying in x.dtype only drops one intermediate rounding.
     ones = jnp.ones((b, g, c // g), jnp.float32)
     scale = params["scale"].astype(jnp.float32)
     a = (inv * ones).reshape(b, c) * scale
     bb = (params["bias"].astype(jnp.float32)
           - (mean * inv * ones).reshape(b, c) * scale)
     bshape = (b,) + (1,) * (x.ndim - 2) + (c,)
-    return (xf * a.reshape(bshape) + bb.reshape(bshape)).astype(orig_dtype)
+    return x * a.reshape(bshape).astype(orig_dtype) \
+        + bb.reshape(bshape).astype(orig_dtype)
 
 
 def silu(x: jnp.ndarray) -> jnp.ndarray:
