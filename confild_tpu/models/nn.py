@@ -9,6 +9,7 @@ regardless of the activation dtype (the reference's ``GroupNorm32``).
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Sequence
 
@@ -124,23 +125,16 @@ def init_group_norm(channels: int, dtype=jnp.float32) -> dict:
             "bias": jnp.zeros((channels,), dtype)}
 
 
-def group_norm(params: dict, x: jnp.ndarray, num_groups: int = 32,
-               eps: float = 1e-5) -> jnp.ndarray:
-    """GroupNorm over channels-last input, computed in f32 (``GroupNorm32``,
-    reference ``src/nn.py:17-19``; torch GroupNorm eps default 1e-5).
+def _gn_moments(x: jnp.ndarray, g: int, eps: float):
+    """Per-group (mean, rsqrt(var+eps)) as (B, g, 1) f32 arrays.
 
-    TPU note: the heavy reduction runs per-channel over the spatial axes
-    only — lane-preserving, since channels sit in the lane dimension — and
-    the cross-channel group combine happens on the tiny ``(B, C)`` moment
-    arrays.  Reshaping the full tensor to ``(..., g, c/g)`` and reducing the
-    minor axis (the naive formulation) makes XLA transpose the whole
-    activation to get groups out of the lanes: measured 2x the entire
-    UNet forward pass at Case4 scale (384^2x128) before this change."""
-    orig_dtype = x.dtype
-    c = x.shape[-1]
-    g = min(num_groups, c)
-    assert c % g == 0, f"channels {c} not divisible by groups {g}"
-    b = x.shape[0]
+    Lane-preserving: the heavy reduction runs per-channel over the spatial
+    axes only (channels sit in the lane dimension) and the cross-channel
+    group combine happens on the tiny ``(B, C)`` moment arrays.  Reshaping
+    the full tensor to ``(..., g, c/g)`` and reducing the minor axis makes
+    XLA transpose the whole activation to get groups out of the lanes:
+    measured 2x the entire UNet forward pass at Case4 scale (384^2x128)."""
+    b, c = x.shape[0], x.shape[-1]
     n = int(np.prod(x.shape[1:-1])) * (c // g)
     xf = x.astype(jnp.float32)
     red = tuple(range(1, x.ndim - 1))
@@ -152,22 +146,103 @@ def group_norm(params: dict, x: jnp.ndarray, num_groups: int = 32,
     var = jnp.maximum(
         s2.reshape(b, g, c // g).sum(-1, keepdims=True) / n - mean * mean,
         0.0)
-    inv = jax.lax.rsqrt(var + eps)
-    # fold everything into one fused multiply-add pass: y = x*A + B.
-    # The (A, B) coefficients are computed in f32 from the f32 moments,
-    # but the per-element pass consumes x in its ORIGINAL dtype: feeding
-    # xf twice (reductions + affine) makes XLA materialize the full-res
-    # f32 activation — profiled at ~3 ms/step of f32 copies/pads on the
-    # Case4 guided step.  The affine's inputs/output round to bf16 either
-    # way, so applying in x.dtype only drops one intermediate rounding.
-    ones = jnp.ones((b, g, c // g), jnp.float32)
-    scale = params["scale"].astype(jnp.float32)
-    a = (inv * ones).reshape(b, c) * scale
-    bb = (params["bias"].astype(jnp.float32)
-          - (mean * inv * ones).reshape(b, c) * scale)
+    return mean, jax.lax.rsqrt(var + eps)
+
+
+def _gn_expand(v: jnp.ndarray, c: int) -> jnp.ndarray:
+    """(B, g, 1) group array -> (B, C) channel array (group-constant)."""
+    b, g, _ = v.shape
+    return jnp.broadcast_to(v, (b, g, c // g)).reshape(b, c)
+
+
+def _gn_affine(x, a, bb):
+    """One fused multiply-add pass y = x*A + B with (B, C) f32 coefficients
+    consumed in ``x.dtype``: feeding an f32 cast of x to the elementwise
+    pass makes XLA materialize the full-res f32 activation — profiled at
+    ~3 ms/step of f32 copies/pads on the Case4 guided step."""
+    b, c = x.shape[0], x.shape[-1]
     bshape = (b,) + (1,) * (x.ndim - 2) + (c,)
-    return x * a.reshape(bshape).astype(orig_dtype) \
-        + bb.reshape(bshape).astype(orig_dtype)
+    return x * a.reshape(bshape).astype(x.dtype) \
+        + bb.reshape(bshape).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _gn_core(scale, bias, x, g, eps):
+    mean, inv = _gn_moments(x, g, eps)
+    c = x.shape[-1]
+    a = _gn_expand(inv, c) * scale.astype(jnp.float32)
+    bb = (bias.astype(jnp.float32)
+          - _gn_expand(mean * inv, c) * scale.astype(jnp.float32))
+    return _gn_affine(x, a, bb)
+
+
+def _gn_fwd(scale, bias, x, g, eps):
+    mean, inv = _gn_moments(x, g, eps)
+    c = x.shape[-1]
+    a = _gn_expand(inv, c) * scale.astype(jnp.float32)
+    bb = (bias.astype(jnp.float32)
+          - _gn_expand(mean * inv, c) * scale.astype(jnp.float32))
+    return _gn_affine(x, a, bb), (scale, x, mean, inv)
+
+
+def _gn_bwd(g, eps, res, dy):
+    """Fused GroupNorm backward.
+
+    Plain autodiff of the forward materializes full-resolution f32
+    intermediates for the d var/dx path (profiled ~2 ms/step of f32
+    pads/copies on the Case4 guided step).  The fused form needs only
+    (a) two lane-preserving per-channel f32 reductions over (dy, dy*x) and
+    (b) one elementwise pass  dx = dy*P + x*Q + R  with group-constant
+    (B, C) f32 coefficients, consumed in the activation dtype — the exact
+    mirror of the forward's y = x*A + B trick:
+        dx_hat = dy*gamma;  xh = (x-mu)*inv
+        dx = inv*(dx_hat - mean_g(dx_hat) - xh*mean_g(dx_hat*xh))
+           = dy*(inv*gamma) + x*(-inv^2*m2) + (inv^2*mu*m2 - inv*m1)
+        m1 = mean_g(dx_hat),  m2 = mean_g(dx_hat*xh)."""
+    scale, x, mean, inv = res
+    b, c = x.shape[0], x.shape[-1]
+    n = int(np.prod(x.shape[1:-1])) * (c // g)
+    red = tuple(range(1, x.ndim - 1))
+    dyf = dy.astype(jnp.float32)
+    r1 = jnp.sum(dyf, axis=red)                                 # (B, C)
+    r2 = jnp.sum(dyf * x.astype(jnp.float32), axis=red)         # (B, C)
+    gam = scale.astype(jnp.float32)                             # (C,)
+    # per-group means of dx_hat and dx_hat*xh from the (B, C) reductions
+    cg = c // g
+    t1 = (gam[None] * r1).reshape(b, g, cg).sum(-1, keepdims=True)
+    t2 = (gam[None] * (r2 - _gn_expand(mean, c) * r1)
+          ).reshape(b, g, cg).sum(-1, keepdims=True)
+    m1 = t1 / n                                                 # (B, g, 1)
+    m2 = inv * t2 / n                                           # (B, g, 1)
+    p = _gn_expand(inv, c) * gam[None]
+    q = _gn_expand(-inv * inv * m2, c)
+    r = _gn_expand(inv * inv * mean * m2 - inv * m1, c)
+    bshape = (b,) + (1,) * (x.ndim - 2) + (c,)
+    dx = (dy * p.reshape(bshape).astype(dy.dtype)
+          + x * q.reshape(bshape).astype(x.dtype)
+          + r.reshape(bshape).astype(dy.dtype)).astype(x.dtype)
+    # param grads from the same (B, C) reductions: dgamma = sum_b inv*(r2
+    # - mu*r1), dbeta = sum_b r1 (tiny arrays, f32)
+    dscale = (_gn_expand(inv, c) * (r2 - _gn_expand(mean, c) * r1)
+              ).sum(0).astype(scale.dtype)
+    dbias = r1.sum(0).astype(scale.dtype)
+    return dscale, dbias, dx
+
+
+_gn_core.defvjp(_gn_fwd, _gn_bwd)
+
+
+def group_norm(params: dict, x: jnp.ndarray, num_groups: int = 32,
+               eps: float = 1e-5) -> jnp.ndarray:
+    """GroupNorm over channels-last input, statistics in f32
+    (``GroupNorm32``, reference ``src/nn.py:17-19``; torch GroupNorm eps
+    default 1e-5).  Forward and backward are both single-reduction-pass +
+    single-elementwise-pass formulations that never materialize an
+    activation-sized f32 tensor (see ``_gn_moments``/``_gn_bwd``)."""
+    c = x.shape[-1]
+    g = min(num_groups, c)
+    assert c % g == 0, f"channels {c} not divisible by groups {g}"
+    return _gn_core(params["scale"], params["bias"], x, g, eps)
 
 
 def silu(x: jnp.ndarray) -> jnp.ndarray:

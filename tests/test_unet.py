@@ -157,6 +157,50 @@ class TestGroupNorm:
         np.testing.assert_allclose(np.asarray(out), np.transpose(ref, inv),
                                    rtol=2e-5, atol=2e-5)
 
+    @pytest.mark.parametrize("shape,groups", [
+        ((2, 24, 24, 64), 32),
+        ((3, 10, 16), 16),         # 1-D
+    ])
+    def test_backward_torch_parity(self, shape, groups):
+        """The fused custom-VJP backward (``nn._gn_bwd``: one reduction
+        pass + one ``dy*P + x*Q + R`` elementwise pass) must produce the
+        same dx/dscale/dbias as torch autograd through torch.nn.GroupNorm."""
+        import torch
+        from confild_tpu.models import nn as tnn
+
+        c = shape[-1]
+        rng = np.random.default_rng(1)
+        x = (rng.standard_normal(shape) * 2.7 + 1.3).astype(np.float32)
+        scale = rng.standard_normal(c).astype(np.float32)
+        bias = rng.standard_normal(c).astype(np.float32)
+        dy = rng.standard_normal(shape).astype(np.float32)
+
+        def loss(p, xx):
+            return jnp.sum(tnn.group_norm(p, xx, num_groups=groups)
+                           * jnp.asarray(dy))
+        (gp, gx) = jax.grad(loss, argnums=(0, 1))(
+            {"scale": jnp.asarray(scale), "bias": jnp.asarray(bias)},
+            jnp.asarray(x))
+
+        g = min(groups, c)
+        tg = torch.nn.GroupNorm(g, c)
+        with torch.no_grad():
+            tg.weight.copy_(torch.from_numpy(scale))
+            tg.bias.copy_(torch.from_numpy(bias))
+        perm = (0, len(shape) - 1) + tuple(range(1, len(shape) - 1))
+        xt = torch.from_numpy(np.transpose(x, perm)).requires_grad_(True)
+        tg(xt).backward(torch.from_numpy(np.transpose(dy, perm)))
+        inv = np.argsort(perm)
+        np.testing.assert_allclose(
+            np.asarray(gx), np.transpose(xt.grad.numpy(), inv),
+            rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(gp["scale"]),
+                                   tg.weight.grad.numpy(),
+                                   rtol=2e-4, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(gp["bias"]),
+                                   tg.bias.grad.numpy(),
+                                   rtol=2e-4, atol=2e-3)
+
     def test_bf16_preserves_dtype_and_accuracy(self):
         from confild_tpu.models import nn as tnn
 
