@@ -40,6 +40,7 @@ def build_model_and_diffusion(hp):
         dropout=hp.get("dropout", 0.0),
         use_bf16=hp.get("use_bf16", hp.get("use_fp16", False)),
         use_checkpoint=hp.get("use_checkpoint", False),
+        remat_policy=hp.get("remat_policy", "full"),
         use_flash_attention=hp.get("use_flash_attention"),
     )
     diffusion = create_gaussian_diffusion(

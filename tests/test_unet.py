@@ -214,6 +214,40 @@ class TestGroupNorm:
                                    np.asarray(ref), atol=0.05)
 
 
+@pytest.mark.parametrize("policy", ["full", "matmuls"])
+def test_remat_policy_grads_match_no_remat(policy):
+    """Block remat (either policy) must be a pure memory/time trade: loss
+    and parameter gradients identical to the un-rematerialized model."""
+    from confild_tpu.models import unet as junet
+
+    def build(use_checkpoint):
+        return junet.create_model(
+            image_size=16, num_channels=8, num_res_blocks=1,
+            channel_mult="1,2", attention_resolutions="8", num_heads=2,
+            use_checkpoint=use_checkpoint,
+            remat_policy=policy if use_checkpoint else "full")
+
+    ref = build(False)
+    rem = build(True)
+    params = ref.init(jax.random.key(0))
+    x = jax.random.normal(jax.random.key(1), (2, 1, 16, 16))
+    t = jnp.array([3, 7])
+
+    def loss(model):
+        def f(p):
+            return jnp.sum(jnp.square(model.apply(p, x, t)))
+        return jax.value_and_grad(f)(params)
+
+    v0, g0 = loss(ref)
+    v1, g1 = loss(rem)
+    np.testing.assert_allclose(float(v0), float(v1), rtol=1e-6)
+    flat0 = jax.tree_util.tree_leaves(g0)
+    flat1 = jax.tree_util.tree_leaves(g1)
+    for a, b in zip(flat0, flat1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_group_norm_near_constant_large_mean_finite():
     """E[x^2]-E[x]^2 cancellation on a near-constant large-mean group must
     not produce NaN (variance clamped at zero)."""
