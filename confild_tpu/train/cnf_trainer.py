@@ -556,6 +556,12 @@ class CNFTrainer:
         if os.path.isdir(path):
             # Orbax (multi-process) checkpoints need a structure template —
             # NamedTuple optimizer states deserialize as plain dicts otherwise
+            if not hasattr(self, "N_samples"):
+                # infer-mode: no dataset loaded — size the latent table (and
+                # the unused latent-optimizer schedule) from the checkpoint
+                meta = ckpt_io.sharded_metadata(path)
+                self.N_samples = int(
+                    meta["hidden_states"]["latents"].shape[0])
             s = self.init_state()
             template = {
                 "epoch": 0,
@@ -582,6 +588,10 @@ class CNFTrainer:
         ck = ckpt_io.load_pytree(path, template)
         nf_params = jax.tree.map(jnp.asarray, ck["model_state_dict"])
         latents_ck = jnp.asarray(ck["hidden_states"]["latents"])
+        if not hasattr(self, "N_samples"):
+            # infer-mode (no dataset): adopt the checkpoint's table size so
+            # the (unused) optimizer schedules can be constructed
+            self.N_samples = latents_ck.shape[0]
         opt_nf, opt_lat = self._optimizers()
         # siren_only loads decoder + decoder-optimizer only; latents (sized
         # by the CURRENT dataset, not the checkpoint's) and their optimizer

@@ -58,6 +58,11 @@ def main():
                     help="held-out simulation seed (training used 0)")
     ap.add_argument("--scales", default="0.3,1.0,3.0",
                     help="guidance scales swept on trajectory 0")
+    ap.add_argument("--sensor-sweep", default="1,10,100,1000",
+                    help="sensor counts swept on trajectory 0 with the "
+                         "tuned guidance (mirrors the reference notebook's "
+                         "`no_of_sensors = 10 #1,10,100,1000`); empty "
+                         "string disables")
     args = ap.parse_args()
 
     import jax
@@ -237,6 +242,43 @@ def main():
               f"member rMAE {member_rmae:.4f} ({time.time()-t0:.0f}s)")
     ens_fields = np.stack(ens_fields)
 
+    # --- sensor-count sweep on trajectory 0 (reference protocol: the Case4
+    # notebook's `no_of_sensors = 10 #1,10,100,1000` cell — same flow,
+    # same trained model, only the sensor budget varies) ----------------
+    sensor_sweep = []
+    sweep_counts = [int(s) for s in args.sensor_sweep.split(",") if s]
+    if sweep_counts:
+        print(f"[4b/5] sensor-count sweep on trajectory 0: {sweep_counts} "
+              f"sensors x {args.steps} steps ...")
+        srng = np.random.default_rng(args.seed + 2)
+        for n_s in sweep_counts:
+            idx = np.sort(srng.choice(grid * grid, size=n_s, replace=False))
+            meas = held_flat[0][:, idx, :]                 # (T, S, 2)
+            op = make_operator(full_coords[idx], idx)
+            samples, final_dist = run_ensemble(op, meas, best_scale,
+                                               steps=args.steps, n_ens=4,
+                                               seed=300 + n_s,
+                                               method=best_method)
+            fields = np.stack([decode_full(unnorm(s)) for s in samples])
+            mean_f = fields.mean(0)
+            frmae = float(np.mean(per_channel_rmae(mean_f, held_flat[0])))
+            rel_l2 = float(np.linalg.norm(mean_f - held_flat[0])
+                           / np.linalg.norm(held_flat[0]))
+            tr_pred = fields[:, :, idx, :]
+            sensor_rmae = float(np.mean(np.abs(tr_pred.mean(0) - meas))
+                                / np.mean(np.abs(meas)))
+            sensor_sweep.append({
+                "n_sensors": n_s,
+                "sensor_fraction": n_s / (grid * grid),
+                "field_rmae": frmae,
+                "field_rel_l2": rel_l2,
+                "sensor_rmae": sensor_rmae,
+                "sensor_misfit": float(np.mean(final_dist)),
+            })
+            print(f"      {n_s:5d} sensors: field rMAE {frmae:.4f}, rel L2 "
+                  f"{rel_l2:.4f}, sensor rMAE {sensor_rmae:.4f} "
+                  f"({time.time()-t0:.0f}s)")
+
     # control: unconditional ensemble scored against the same truth
     print("      control: unconditional ensemble vs the same truth ...")
     from confild_tpu.diffusion import create_gaussian_diffusion
@@ -321,6 +363,28 @@ def main():
     fig.savefig(os.path.join(here, "demo_cond_fields.png"), dpi=120)
     plt.close(fig)
 
+    if sensor_sweep:
+        # sweep plot: reconstruction error vs sensor budget (log-x), with
+        # the unconditional ensemble as the zero-information anchor
+        fig, ax = plt.subplots(figsize=(5.5, 3.6))
+        ns = [r["n_sensors"] for r in sensor_sweep]
+        ax.semilogx(ns, [r["field_rmae"] for r in sensor_sweep], "o-",
+                    label="DPS field rMAE (ens. mean)")
+        ax.semilogx(ns, [r["sensor_rmae"] for r in sensor_sweep], "s--",
+                    label="sensor-trace rMAE")
+        uc = float(np.mean(per_channel_rmae(uncond_fields.mean(0),
+                                            held_flat[0])))
+        ax.axhline(uc, color="gray", ls=":",
+                   label="unconditional control")
+        ax.set_xlabel("number of sensors")
+        ax.set_ylabel("rMAE")
+        ax.grid(alpha=0.3, which="both")
+        ax.legend(fontsize=8)
+        fig.suptitle("trajectory 0: reconstruction vs sensor budget")
+        fig.tight_layout()
+        fig.savefig(os.path.join(here, "demo_cond_sweep.png"), dpi=120)
+        plt.close(fig)
+
     pooled_field_rmae = float(np.mean([
         np.mean(t["field_rmae_mean"]) for t in per_traj]))
     # trajectory 0 tuned (method, scale) on its full-field truth -> exclude
@@ -348,6 +412,7 @@ def main():
         "field_rmae_pooled": pooled_field_rmae,
         "field_rmae_unconditional_control": uncond_rmae,
         "conditioning_gain": uncond_rmae / max(pooled_field_rmae, 1e-9),
+        "sensor_sweep": sensor_sweep,
         "spectra_relative_error": float(spec_err),
         "integral_timescale_truth": tau_true,
         "integral_timescale_conditional": tau_cond,

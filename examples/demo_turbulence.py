@@ -96,6 +96,11 @@ def main():
                          "diffusion stage on the improved latents)")
     ap.add_argument("--diff-steps", type=int, default=None,
                     help="stage-2 diffusion training steps")
+    ap.add_argument("--latent", type=int, default=None,
+                    help="latent features per snapshot row (default 64; the "
+                         "capacity lever when the CNF recon floor binds: a "
+                         "64-float latent row compresses a 64^2x2 snapshot "
+                         "128:1)")
     ap.add_argument("--n-traj", type=int, default=None,
                     help="number of simulated trajectories (default 64)")
     ap.add_argument("--decoder-from", default=None,
@@ -140,7 +145,7 @@ def main():
     n_traj, n_snap, grid = (4, 16, 32) if args.fast else (64, 64, 64)
     if args.n_traj is not None:
         n_traj = args.n_traj
-    latent = 32 if args.fast else 64
+    latent = args.latent or (32 if args.fast else 64)
     cnf_epochs = (args.cnf_epochs if args.cnf_epochs is not None
                   else (40 if args.fast else 2500))
     diff_steps = (args.diff_steps if args.diff_steps is not None

@@ -78,6 +78,23 @@ class TestCNFTrainer:
         assert out.shape == (4, 120, 2)
         assert np.all(np.isfinite(np.asarray(out)))
 
+    def test_infer_mode_full_load_without_dataset(self, tmp_path):
+        """An infer-mode trainer (no dataset read) must be able to FULL-load
+        a checkpoint: the latent-table size (and the unused latent-optimizer
+        schedule) comes from the checkpoint, not the absent data.  This is
+        the DPS conditional-generation entry path
+        (examples/demo_conditional.py, cli/sample_conditional.py)."""
+        hp = make_case(tmp_path, epochs=4)
+        tr = CNFTrainer(hp)
+        tr.train(log_formats=())
+
+        tr_inf = CNFTrainer(hp, infer_mode=True)
+        st = tr_inf.load(-1)
+        assert st is not None
+        assert tr_inf.N_samples == tr.state.latents.shape[0]
+        np.testing.assert_allclose(np.asarray(st.latents),
+                                   np.asarray(tr.state.latents))
+
     def test_resume_continues_epoch(self, tmp_path):
         hp = make_case(tmp_path, epochs=6)
         tr = CNFTrainer(hp)
