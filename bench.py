@@ -173,6 +173,10 @@ def main():
 
     # --- optimized path: bf16 torso, single-traced fwd+vjp, fused decode ---
     model, params = make_model(bf16=True)
+    # pre-cast torso kernels to bf16 once: inside the 1000-step scan XLA
+    # does not hoist the per-use f32->bf16 weight converts out of the loop
+    # body (bit-identical outputs, same rounding applied earlier)
+    params = model.cast_torso_params(params)
 
     @jax.jit
     def run_fast(params, cparams, img):
@@ -197,6 +201,7 @@ def main():
     # Block remat keeps the batched per-step VJP inside HBM. ---
     n_ens = 10
     model_ens, params_ens = make_model(bf16=True, use_checkpoint=on_tpu)
+    params_ens = model_ens.cast_torso_params(params_ens)
     x_starts = jnp.zeros((n_ens, *img.shape), jnp.float32)
     ens_keys = jax.random.split(jax.random.key(7), n_ens)
 

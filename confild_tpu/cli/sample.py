@@ -32,7 +32,9 @@ def main(argv=None):
     hp = cfgmod.basic_input(argv[0])
 
     model, diffusion = build_model_and_diffusion(hp)
-    params = load_unet_params(hp.ema_path, model)
+    # inference-only: pre-cast torso kernels so the sampling scan body does
+    # not re-convert every weight f32->bf16 per denoise step (bit-identical)
+    params = model.cast_torso_params(load_unet_params(hp.ema_path, model))
 
     b = hp.test_batch_size
     shape = (b, 1, hp.time_length, hp.latent_length)

@@ -41,7 +41,9 @@ def main(argv=None):
     hp = cfgmod.basic_input(argv[0])
 
     model, _ = build_model_and_diffusion(hp)
-    params = load_unet_params(hp.ema_path, model)
+    # inference-only: pre-cast torso kernels so the guided scan body does
+    # not re-convert every weight f32->bf16 per denoise step (bit-identical)
+    params = model.cast_torso_params(load_unet_params(hp.ema_path, model))
 
     measurement = jnp.asarray(np.load(hp.sensor_measures), jnp.float32)
     mask = jnp.ones_like(measurement)

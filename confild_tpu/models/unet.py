@@ -442,6 +442,44 @@ class UNetModel:
             zero=True)
         return params
 
+    # conv/dense kernels that run on the (possibly bf16) torso activations;
+    # "emb" stays f32 (the timestep embedding path runs in f32, its output
+    # is cast to the torso dtype afterwards) and GroupNorm scale/bias stay
+    # f32 (per-channel, negligible convert cost, used by the f32-statistics
+    # custom-VJP kernel)
+    _TORSO_KERNEL_KEYS = frozenset(
+        {"in_conv", "out_conv", "skip", "qkv", "proj", "conv"})
+
+    def cast_torso_params(self, params: Params) -> Params:
+        """Pre-cast torso conv/dense kernels to ``cfg.torso_dtype``.
+
+        ``apply`` casts every kernel to the activation dtype at use
+        (``nn.py::dense/conv``); inside a long sampling ``lax.scan`` XLA
+        does not hoist those weight converts out of the loop body, so a
+        bf16-torso model pays an f32->bf16 convert of every weight on every
+        denoise step.  Casting once up front makes the in-loop ``astype`` a
+        no-op with bit-identical outputs (same rounding, applied earlier).
+        Use for inference/sampling only — training keeps f32 master params.
+        """
+        dtype = self.cfg.torso_dtype
+        if dtype == jnp.float32:
+            return params
+
+        def cast_layer(p: dict) -> dict:
+            q = dict(p)
+            for k in self._TORSO_KERNEL_KEYS & q.keys():
+                q[k] = {n: v.astype(dtype) for n, v in q[k].items()}
+            return q
+
+        out = dict(params)
+        out["input_blocks"] = [[cast_layer(p) for p in blk]
+                               for blk in params["input_blocks"]]
+        out["middle_block"] = [cast_layer(p)
+                               for p in params["middle_block"]]
+        out["output_blocks"] = [[cast_layer(p) for p in blk]
+                                for blk in params["output_blocks"]]
+        return out
+
     def apply(self, params: Params, x: jnp.ndarray, timesteps: jnp.ndarray,
               y: jnp.ndarray | None = None, *, channels_first: bool = True,
               dropout_rng=None) -> jnp.ndarray:

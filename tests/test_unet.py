@@ -257,3 +257,30 @@ def test_group_norm_near_constant_large_mean_finite():
     p = {"scale": jnp.ones((64,)), "bias": jnp.zeros((64,))}
     out = tnn.group_norm(p, x)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_cast_torso_params_bit_identical():
+    """Pre-casting torso kernels to bf16 must be a no-op for the forward:
+    ``apply`` already casts every kernel to the activation dtype at use, so
+    casting once up front applies the same rounding earlier (sampling CLIs
+    and bench use this to hoist per-step weight converts out of the scan)."""
+    m = small_model(use_bf16=True)
+    params = m.init(jax.random.key(0))
+    cast = m.cast_torso_params(params)
+
+    # torso kernels became bf16; time-embed and GroupNorm params stayed f32
+    assert cast["input_blocks"][1][0]["in_conv"]["kernel"].dtype == jnp.bfloat16
+    assert cast["time_embed"][0]["kernel"].dtype == jnp.float32
+    assert cast["out_conv"]["kernel"].dtype == jnp.float32  # runs in f32
+    assert cast["input_blocks"][1][0]["in_norm"]["scale"].dtype == jnp.float32
+
+    x = jax.random.normal(jax.random.key(1), (2, 1, 32, 32))
+    t = jnp.array([3, 700])
+    a = np.asarray(m.apply(params, x, t))
+    b = np.asarray(m.apply(cast, x, t))
+    np.testing.assert_array_equal(a, b)
+
+    # f32 torso: identity (no copies)
+    m32 = small_model(use_bf16=False)
+    p32 = m32.init(jax.random.key(0))
+    assert m32.cast_torso_params(p32) is p32
