@@ -82,9 +82,13 @@ def main():
     emas = sorted(glob.glob(os.path.join(out_dir, "dckpt", "ema_*.ckpt")))
     if not emas:
         raise FileNotFoundError(f"no EMA checkpoint under {out_dir}/dckpt")
+    # must mirror demo_turbulence.py: attention resolutions scale with the
+    # image so attention lands at ds=4 (and 8) for every latent width
+    img = max(n_snap, latent)
     model = junet.create_model(
-        image_size=max(n_snap, latent), num_channels=64, num_res_blocks=2,
-        channel_mult="1,2,2", attention_resolutions="16,8",
+        image_size=img, num_channels=64, num_res_blocks=2,
+        channel_mult="1,2,2",
+        attention_resolutions=f"{img // 4},{img // 8}",
         num_heads=4, num_head_channels=16, use_bf16=True)
     ema = load_unet_params(emas[-1], model)
     respaced = create_gaussian_diffusion(
