@@ -79,7 +79,6 @@ def main():
     from confild_tpu.guidance import (create_sampler, get_conditioning_method,
                                       get_noise)
     from confild_tpu.guidance.operators import CNFDecodeOperator
-    from confild_tpu.models import unet as junet
     from confild_tpu.train.cnf_trainer import CNFTrainer
 
     here = os.path.dirname(os.path.abspath(__file__))
@@ -104,14 +103,8 @@ def main():
 
     import glob
     emas = sorted(glob.glob(os.path.join(out_dir, "dckpt", "ema_*.ckpt")))
-    # must mirror demo_turbulence.py: attention resolutions scale with the
-    # image so attention lands at ds=4 (and 8) for every latent width
-    img = max(n_snap, latent)
-    model = junet.create_model(
-        image_size=img, num_channels=64, num_res_blocks=2,
-        channel_mult="1,2,2",
-        attention_resolutions=f"{img // 4},{img // 8}",
-        num_heads=4, num_head_channels=16, use_bf16=True)
+    from examples.demo_common import build_demo_unet
+    model = build_demo_unet(n_snap, latent)
     ema = load_unet_params(emas[-1], model)
 
     full_coords = np.stack(np.meshgrid(np.linspace(0, 1, grid),

@@ -49,7 +49,6 @@ def main():
     from confild_tpu.core.packing import (minmax_to_unit_interval,
                                           unit_interval_to_minmax)
     from confild_tpu.diffusion import create_gaussian_diffusion
-    from confild_tpu.models import unet as junet
     from confild_tpu.train.cnf_trainer import CNFTrainer
 
     here = os.path.dirname(os.path.abspath(__file__))
@@ -82,14 +81,8 @@ def main():
     emas = sorted(glob.glob(os.path.join(out_dir, "dckpt", "ema_*.ckpt")))
     if not emas:
         raise FileNotFoundError(f"no EMA checkpoint under {out_dir}/dckpt")
-    # must mirror demo_turbulence.py: attention resolutions scale with the
-    # image so attention lands at ds=4 (and 8) for every latent width
-    img = max(n_snap, latent)
-    model = junet.create_model(
-        image_size=img, num_channels=64, num_res_blocks=2,
-        channel_mult="1,2,2",
-        attention_resolutions=f"{img // 4},{img // 8}",
-        num_heads=4, num_head_channels=16, use_bf16=True)
+    from examples.demo_common import build_demo_unet
+    model = build_demo_unet(n_snap, latent)
     ema = load_unet_params(emas[-1], model)
     respaced = create_gaussian_diffusion(
         steps=1000, noise_schedule="cosine",

@@ -133,7 +133,6 @@ def main():
     from confild_tpu.core.packing import (minmax_to_unit_interval,
                                           unit_interval_to_minmax)
     from confild_tpu.diffusion import create_gaussian_diffusion
-    from confild_tpu.models import unet as junet
     from confild_tpu.train.cnf_trainer import CNFTrainer
     from confild_tpu.train.diffusion_trainer import TrainLoop
     from confild_tpu.utils import logger as tlog
@@ -254,18 +253,8 @@ def main():
     mx, mn = float(latents.max()), float(latents.min())
     train = minmax_to_unit_interval(imgs, mx, mn)[:, None]  # (traj,1,T,L)
 
-    # attention_resolutions are divided into image_size to get downsample
-    # factors; scale them with the image so attention lands at ds=4 (and 8)
-    # for every latent width — a fixed "16,8" at image_size=128 resolves to
-    # ds {8,16}, which a 3-level UNet never reaches, silently dropping every
-    # non-middle attention block (measured: integral-timescale ratio
-    # collapses 0.88 -> 0.61 without them)
-    img = max(n_snap, latent)
-    model = junet.create_model(
-        image_size=img, num_channels=64, num_res_blocks=2,
-        channel_mult="1,2,2",
-        attention_resolutions=f"{img // 4},{img // 8}",
-        num_heads=4, num_head_channels=16, use_bf16=True)
+    from examples.demo_common import build_demo_unet
+    model = build_demo_unet(n_snap, latent)
     diffusion = create_gaussian_diffusion(steps=1000, noise_schedule="cosine")
 
     diff_batch = min(16 if not args.fast else 8, n_traj)
