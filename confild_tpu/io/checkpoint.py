@@ -45,9 +45,10 @@ def save_pytree(path: str, tree: Any) -> None:
     with open(tmp, "wb") as f:
         pickle.dump(_to_host(tree), f, protocol=pickle.HIGHEST_PROTOCOL)
     if os.path.isdir(path):   # overwriting an Orbax (directory) checkpoint:
-        # rename the directory aside first so a crash between operations
-        # never leaves NO checkpoint at `path` (rmtree-then-replace had a
-        # window with neither old nor new present)
+        # a directory cannot be atomically replaced by a file, so rename it
+        # aside first.  A crash between the rename and the replace leaves a
+        # small window with only ``path + ".old"`` present — recoverable:
+        # ``latest_checkpoint`` restores stranded ``.old`` directories.
         old = path + ".old"
         if os.path.isdir(old):
             shutil.rmtree(old)
@@ -71,6 +72,13 @@ def load_pytree(path: str, template: Any | None = None) -> Any:
 def latest_checkpoint(save_path: str, pattern: str = "checkpoint_*.ckpt") -> tuple[str, int] | None:
     """Find the newest ``checkpoint_{id}`` file (reference ``load(-1)``
     discovery, ``scripts/train.py:483-496``).  Returns (path, id) or None."""
+    # crash recovery: save_pytree renames a directory checkpoint to
+    # ``*.old`` before replacing it with the new file; a crash in that
+    # window strands the data under a name this glob would miss
+    for stranded in glob.glob(os.path.join(save_path, pattern + ".old")):
+        target = stranded[: -len(".old")]
+        if not os.path.exists(target):
+            os.rename(stranded, target)
     paths = glob.glob(os.path.join(save_path, pattern))
     best = None
     for p in paths:

@@ -13,14 +13,18 @@ Protocol:
      training seed 0) — these were never seen by CNF or diffusion training.
   2. Place ``--n-sensors`` random mesh points per trajectory; the
      measurement is the (T, n_sensors, 2) velocity trace at those points.
-  3. Tune the DPS guidance scale on trajectory 0 with a respaced (cheap)
-     sampler; evaluate ALL trajectories at full 1000-step DDPM with the
-     chosen scale (an ensemble of ``--n-ens`` samples per trajectory).
+  3. Tune the DPS guidance (method, scale) on trajectory 0 at the full
+     step count (guidance strength compounds per step, so a scale tuned
+     on a respaced sampler does not transfer); evaluate ALL trajectories
+     at full 1000-step DDPM with the chosen scale (an ensemble of
+     ``--n-ens`` samples per trajectory).
   4. Report, per trajectory and pooled: sensor-trace rMAE and +-3 sigma
      band coverage (the notebook's acceptance plot), held-out FULL-FIELD
      rMAE of the ensemble mean, energy-spectra error and integral-timescale
      ratio of the conditional ensemble vs the held-out ground truth; an
      unconditional-ensemble control shows how much the sensors buy.
+     Trajectory 0's full-field truth was consumed by the tuning, so every
+     pooled/ratio metric is computed over the REMAINING trajectories only.
 
 Artifacts: ``examples/demo_conditional.json`` + ``demo_cond_sensors.png``
 + ``demo_cond_fields.png``.
@@ -40,7 +44,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from demo_turbulence import simulate_turbulence  # noqa: E402
+from examples.demo_turbulence import simulate_turbulence  # noqa: E402
 
 
 def main():
@@ -83,7 +87,12 @@ def main():
 
     here = os.path.dirname(os.path.abspath(__file__))
     out_dir = args.out or os.path.join(here, "demo_out")
-    with open(os.path.join(here, "demo_metrics.json")) as f:
+    # prefer the run dir's own metrics copy (several demo output dirs can
+    # coexist; the global file describes only the most recent run)
+    metrics_path = os.path.join(out_dir, "demo_metrics.json")
+    if not os.path.exists(metrics_path):
+        metrics_path = os.path.join(here, "demo_metrics.json")
+    with open(metrics_path) as f:
         c = json.load(f)["config"]
     n_snap, grid, latent = c["n_snap"], c["grid"], c["latent"]
 
@@ -120,43 +129,70 @@ def main():
     measures = np.stack([held_flat[i, :, sensor_idx[i], :].transpose(1, 0, 2)
                          for i in range(args.n_held)])    # (n_held, T, S, 2)
 
-    def make_operator(coords, point_idx=None):
-        """Sensor-coord decode operator.  The demo's '-11' normalizer is fit
-        with dim=0 over (t, N, c) -> per-mesh-point params (1, N, c); when
-        decoding at a point subset the y-params must be sliced to those
-        points."""
-        from confild_tpu.core import normalize as cnorm
-        y_norm = tr.out_normalizer
-        if point_idx is not None and np.asarray(y_norm.params[0]).ndim == 3:
-            y_norm = cnorm.Normalizer(
-                tuple(np.asarray(p)[:, point_idx, :] for p in y_norm.params),
-                y_norm.method, y_norm.dim)
-        return CNFDecodeOperator(
-            params=tr.state.nf_params, coords=coords,
-            x_normalizer=tr.in_normalizer, y_normalizer=y_norm,
-            max_val=mx, min_val=mn)
+    from confild_tpu.core import normalize as cnorm
+    from confild_tpu.core.packing import unit_interval_to_minmax
+
+    y_norm_full = tr.out_normalizer
+
+    def ynorm_sliced(point_idx):
+        """The demo's '-11' normalizer is fit with dim=0 over (t, N, c) ->
+        per-mesh-point params (1, N, c); when decoding at a point subset the
+        y-params must be sliced to those points."""
+        if point_idx is not None and np.asarray(
+                y_norm_full.params[0]).ndim == 3:
+            return tuple(np.asarray(p)[:, point_idx, :]
+                         for p in y_norm_full.params)
+        return tuple(np.asarray(p) for p in y_norm_full.params)
 
     noiser = get_noise("clean")
+    nf_params = tr.state.nf_params
+    _compiled = {}
 
-    def run_ensemble(operator, measurement, scale, steps, n_ens, seed,
-                     method="ps"):
-        cond = get_conditioning_method(method, operator, noiser, scale=scale)
-        sampler = create_sampler(
-            sampler="ddpm", steps=1000, noise_schedule="cosine",
-            timestep_respacing=str(steps) if steps != 1000 else None)
+    def run_ensemble(coords, yn_params, measurement, scale, steps, n_ens,
+                     seed, method="ps"):
+        """One compiled guided program per (method, steps, shapes).
+
+        The trajectory-varying arrays (sensor coords, sliced y-normalizer
+        params, measurement) and the guidance scale enter as traced jit
+        arguments, so the tuning sweep's scale candidates and every
+        same-shape trajectory run share a single compilation of the
+        1000-step guided scan instead of recompiling per call."""
+        coords = jnp.asarray(coords, jnp.float32)
+        yn_params = tuple(jnp.asarray(p) for p in yn_params)
         y = jnp.asarray(measurement)
+        sig = (method, steps, n_ens, coords.shape, y.shape,
+               tuple(p.shape for p in yn_params))
+        if sig not in _compiled:
+            sampler = create_sampler(
+                sampler="ddpm", steps=1000, noise_schedule="cosine",
+                timestep_respacing=str(steps) if steps != 1000 else None)
 
-        def run_one(params, x_start, k):
-            def model_fn(x, t, **kw):
-                return model.apply(params, x, t)
-            return sampler.p_sample_loop(model_fn, x_start, y, cond, k,
-                                         return_distances=True)
+            def run_all(params, coords, yn_params, y, scale, x_starts, keys):
+                op = CNFDecodeOperator(
+                    params=nf_params, coords=coords,
+                    x_normalizer=tr.in_normalizer,
+                    y_normalizer=cnorm.Normalizer(
+                        yn_params, y_norm_full.method, y_norm_full.dim),
+                    max_val=mx, min_val=mn)
+                cond = get_conditioning_method(method, op, noiser,
+                                               scale=scale)
+
+                def run_one(x_start, k):
+                    def model_fn(x, t, **kw):
+                        return model.apply(params, x, t)
+                    return sampler.p_sample_loop(model_fn, x_start, y, cond,
+                                                 k, return_distances=True)
+
+                return jax.vmap(run_one)(x_starts, keys)
+
+            _compiled[sig] = jax.jit(run_all)
 
         keys = jax.random.split(jax.random.key(seed), n_ens)
         x_starts = jax.random.normal(jax.random.key(seed + 1),
                                      (n_ens, 1, 1, n_snap, latent))
-        samples, dists = jax.jit(jax.vmap(run_one, in_axes=(None, 0, 0)))(
-            ema, x_starts, keys)
+        samples, dists = _compiled[sig](
+            ema, coords, yn_params, y, jnp.asarray(scale, jnp.float32),
+            x_starts, keys)
         return (np.asarray(samples).reshape(n_ens, n_snap, latent),
                 np.asarray(dists)[:, -1])
 
@@ -165,7 +201,7 @@ def main():
         return np.asarray(tr.infer(full_coords, jnp.asarray(gen_lat_rows)))
 
     def unnorm(samples):
-        return (samples + 1.0) * (mx - mn) / 2.0 + mn
+        return unit_interval_to_minmax(samples, mx, mn)
 
     # --- [3/5] guidance tuning on trajectory 0 (the declared VALIDATION
     # trajectory: full-field truth is used to pick (method, scale); held-out
@@ -176,10 +212,10 @@ def main():
     cands = [("ps", s) for s in scales] + [("ps_linear_decay", 1.0)]
     print(f"[3/5] tuning guidance on trajectory 0 ({args.steps} steps): "
           f"{cands} ...")
-    op0 = make_operator(full_coords[sensor_idx[0]], sensor_idx[0])
+    coords0, yn0 = full_coords[sensor_idx[0]], ynorm_sliced(sensor_idx[0])
     sweep = {}
     for method, s in cands:
-        samples, final_dist = run_ensemble(op0, measures[0], s,
+        samples, final_dist = run_ensemble(coords0, yn0, measures[0], s,
                                            steps=args.steps, n_ens=4,
                                            seed=10, method=method)
         fields = np.stack([decode_full(unnorm(x)) for x in samples])
@@ -206,8 +242,9 @@ def main():
     per_traj = []
     ens_fields = []          # (n_held, n_ens, T, grid*grid, 2)
     for i in range(args.n_held):
-        op = make_operator(full_coords[sensor_idx[i]], sensor_idx[i])
-        samples, _ = run_ensemble(op, measures[i], best_scale,
+        samples, _ = run_ensemble(full_coords[sensor_idx[i]],
+                                  ynorm_sliced(sensor_idx[i]),
+                                  measures[i], best_scale,
                                   steps=args.steps, n_ens=args.n_ens,
                                   seed=100 + i, method=best_method)
         fields = np.stack([decode_full(unnorm(s)) for s in samples])
@@ -251,8 +288,9 @@ def main():
         for n_s in sweep_counts:
             idx = np.sort(srng.choice(grid * grid, size=n_s, replace=False))
             meas = held_flat[0][:, idx, :]                 # (T, S, 2)
-            op = make_operator(full_coords[idx], idx)
-            samples, final_dist = run_ensemble(op, meas, best_scale,
+            samples, final_dist = run_ensemble(full_coords[idx],
+                                               ynorm_sliced(idx),
+                                               meas, best_scale,
                                                steps=args.steps, n_ens=4,
                                                seed=300 + n_s,
                                                method=best_method)
@@ -292,20 +330,26 @@ def main():
 
     uncond = np.asarray(sample_uncond(ema, jax.random.key(999)))[:, 0]
     uncond_fields = np.stack([decode_full(unnorm(s)) for s in uncond])
-    uncond_rmae = float(np.mean([
-        np.mean(per_channel_rmae(uncond_fields.mean(0), held_flat[i]))
-        for i in range(args.n_held)]))
 
     # --- [5/5] pooled physics metrics + plots ----------------------------
+    # trajectory 0's full-field truth picked (method, scale), so EVERY
+    # pooled metric — including the unconditional control and the
+    # physics ratios — is computed over the remaining trajectories only
+    # (all trajectories if only the validation one was run)
     print("[5/5] physics metrics + plots ...")
-    gen_grid = ens_fields.reshape(-1, n_snap, grid, grid, 2)
+    held_ids = (list(range(1, args.n_held)) if args.n_held > 1 else [0])
+    uncond_rmae = float(np.mean([
+        np.mean(per_channel_rmae(uncond_fields.mean(0), held_flat[i]))
+        for i in held_ids]))
     true_grid = held.reshape(args.n_held, n_snap, grid, grid, 2)
+    gen_grid = ens_fields[held_ids].reshape(-1, n_snap, grid, grid, 2)
+    true_pool = true_grid[held_ids]
     spec_err = spectra_relative_error(
         np.concatenate([gen_grid[..., 0], gen_grid[..., 1]]).reshape(-1, grid),
-        np.concatenate([true_grid[..., 0],
-                        true_grid[..., 1]]).reshape(-1, grid), axis=-1)
+        np.concatenate([true_pool[..., 0],
+                        true_pool[..., 1]]).reshape(-1, grid), axis=-1)
     tau_true = float(np.mean([integral_timescale(true_grid[i, ..., 0], 1.0)
-                              for i in range(args.n_held)]))
+                              for i in held_ids]))
     tau_cond = float(np.mean([integral_timescale(gen_grid[i, ..., 0], 1.0)
                               for i in range(gen_grid.shape[0])]))
 
@@ -385,8 +429,10 @@ def main():
     pooled_field_rmae = float(np.mean([
         np.mean(t["field_rmae_mean"]) for t in per_traj]))
     # trajectory 0 tuned (method, scale) on its full-field truth -> exclude
-    # it from the held-out pool
+    # it from the held-out pool (matches held_ids above)
     held_out = [t for t in per_traj if t["role"] == "held_out"] or per_traj
+    field_rmae_held_out = float(np.mean([
+        np.mean(t["field_rmae_mean"]) for t in held_out]))
     report = {
         "protocol": {
             "n_held": args.n_held, "n_sensors": args.n_sensors,
@@ -402,13 +448,14 @@ def main():
                                              for t in held_out])),
         "sigma3_coverage_pooled": float(np.mean([t["sigma3_coverage"]
                                                  for t in held_out])),
-        "field_rmae_held_out": float(np.mean([
-            np.mean(t["field_rmae_mean"]) for t in held_out])),
+        "field_rmae_held_out": field_rmae_held_out,
         "field_rmae_per_member_held_out": float(np.mean([
             t["field_rmae_per_member"] for t in held_out])),
-        "field_rmae_pooled": pooled_field_rmae,
+        # includes the validation trajectory — diagnostic only; every
+        # ratio below uses the held-out pool
+        "field_rmae_pooled_incl_validation": pooled_field_rmae,
         "field_rmae_unconditional_control": uncond_rmae,
-        "conditioning_gain": uncond_rmae / max(pooled_field_rmae, 1e-9),
+        "conditioning_gain": uncond_rmae / max(field_rmae_held_out, 1e-9),
         "sensor_sweep": sensor_sweep,
         "spectra_relative_error": float(spec_err),
         "integral_timescale_truth": tau_true,

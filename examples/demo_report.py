@@ -53,7 +53,12 @@ def main():
 
     here = os.path.dirname(os.path.abspath(__file__))
     out_dir = args.out or os.path.join(here, "demo_out")
-    with open(os.path.join(here, "demo_metrics.json")) as f:
+    # prefer the run dir's own metrics copy (several demo output dirs can
+    # coexist; the global file describes only the most recent run)
+    metrics_path = os.path.join(out_dir, "demo_metrics.json")
+    if not os.path.exists(metrics_path):
+        metrics_path = os.path.join(here, "demo_metrics.json")
+    with open(metrics_path) as f:
         metrics = json.load(f)
     c = metrics["config"]
     n_traj, n_snap, grid, latent = (c["n_traj"], c["n_snap"], c["grid"],

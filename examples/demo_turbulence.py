@@ -205,10 +205,17 @@ def main():
         shutil.copy(npz, os.path.join(recipe["save_path"],
                                       "normalizer_params.ckpt"))
         donor = ckpt_io.latest_checkpoint(args.decoder_from)
+        if donor is None:
+            raise SystemExit(
+                f"--decoder-from {args.decoder_from}: no checkpoint_*.ckpt "
+                "found (needs a completed stage-1 run directory)")
         tgt = os.path.join(recipe["save_path"],
                            f"checkpoint_{donor[1]}.ckpt")
         if not os.path.exists(tgt):
-            shutil.copy(donor[0], tgt)
+            # Orbax (multi-process) checkpoints are directories
+            copy = (shutil.copytree if os.path.isdir(donor[0])
+                    else shutil.copy)
+            copy(donor[0], tgt)
         hp = cfg.basic_input(cnf_yml)
         tr = CNFTrainer(hp)
         tr.load(-1, siren_only=True)
@@ -327,6 +334,11 @@ def main():
     }
     path = os.path.join(here, "demo_metrics.json")
     with open(path, "w") as f:
+        json.dump(metrics, f, indent=2)
+    # the run dir gets its own copy so downstream consumers (demo_report,
+    # demo_conditional) can resolve THIS run's config even when several
+    # demo output dirs coexist
+    with open(os.path.join(out_dir, "demo_metrics.json"), "w") as f:
         json.dump(metrics, f, indent=2)
     print(json.dumps(metrics, indent=2))
     print(f"metrics -> {path}")

@@ -178,6 +178,26 @@ class TestCheckpointIO:
         assert ck.parse_resume_step("/a/b/model123456.ckpt") == 123456
         assert ck.parse_resume_step("nonsense.txt") == 0
 
+    def test_latest_checkpoint_recovers_stranded_old_dir(self, tmp_path):
+        """save_pytree renames a directory checkpoint to *.old before
+        replacing it with the new file; a crash in that window must not
+        make the checkpoint invisible to resume discovery."""
+        import os
+        from confild_tpu.io import checkpoint as ck
+        ck.save_pytree(str(tmp_path / "checkpoint_4.ckpt"), {"i": 4})
+        # simulate the crash window: data stranded under .old, target gone
+        stranded = tmp_path / "checkpoint_9.ckpt.old"
+        os.makedirs(stranded)
+        ck.save_pytree(str(stranded / "payload.ckpt"), {"i": 9})
+        path, idx = ck.latest_checkpoint(str(tmp_path))
+        assert idx == 9 and path.endswith("checkpoint_9.ckpt")
+        assert os.path.isdir(path) and not stranded.exists()
+        # a stranded .old NEXT TO a live target is stale — left alone
+        os.makedirs(str(tmp_path / "checkpoint_4.ckpt.old"))
+        path, idx = ck.latest_checkpoint(str(tmp_path))
+        assert idx == 9
+        assert os.path.isdir(str(tmp_path / "checkpoint_4.ckpt.old"))
+
     def test_orbax_roundtrip(self, tmp_path):
         from confild_tpu.io import checkpoint as ck
         import jax.numpy as jnp
