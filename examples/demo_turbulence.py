@@ -123,6 +123,10 @@ def main():
     args = ap.parse_args()
 
     import jax
+    if os.environ.get("CONFILD_FORCE_CPU"):
+        # some TPU platform plugins ignore JAX_PLATFORMS alone; the
+        # config update below is required before first device use
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import yaml
 
