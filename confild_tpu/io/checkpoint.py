@@ -90,6 +90,46 @@ def latest_checkpoint(save_path: str, pattern: str = "checkpoint_*.ckpt") -> tup
     return best
 
 
+def rotate_checkpoints(save_path: str, keep: int,
+                       kind: str = "cnf") -> list[str]:
+    """Delete all but the newest ``keep`` checkpoint generations in
+    ``save_path`` (additive over the reference, which accumulates every
+    save forever — 400k-step runs at save_interval 10k leave 120 files,
+    ``train_util.py:272-295``).  ``kind``:
+
+    * ``"cnf"`` — ``checkpoint_{epoch}.ckpt`` generations,
+    * ``"diffusion"`` — ``model/ema_*/opt{step:06d}.ckpt`` triplets rotated
+      as a unit, so a kept model always has its EMA + optimizer siblings.
+
+    Orbax (directory) checkpoints are removed recursively.  Multi-process:
+    only process 0 deletes (the files live on a shared filesystem); callers
+    need no barrier because deletion only touches generations strictly older
+    than the save that just completed.  Returns the deleted paths."""
+    if not keep or keep <= 0 or jax.process_index() != 0:
+        return []
+    if kind == "cnf":
+        groups: dict[int, list[str]] = {}
+        for p in glob.glob(os.path.join(save_path, "checkpoint_*.ckpt")):
+            m = re.search(r"_(\d+)\.\w+$", p)
+            if m:
+                groups.setdefault(int(m.group(1)), []).append(p)
+    elif kind == "diffusion":
+        groups = {}
+        for p in glob.glob(os.path.join(save_path, "*.ckpt")):
+            m = re.search(r"(?:model|opt|ema_[\d.]+_)(\d+)\.\w+$",
+                          os.path.basename(p))
+            if m:
+                groups.setdefault(int(m.group(1)), []).append(p)
+    else:
+        raise ValueError(f"unknown checkpoint kind {kind!r}")
+    deleted = []
+    for gen in sorted(groups)[:-keep]:
+        for p in groups[gen]:
+            (shutil.rmtree if os.path.isdir(p) else os.remove)(p)
+            deleted.append(p)
+    return deleted
+
+
 def parse_resume_step(filename: str) -> int:
     """``model123456.ckpt -> 123456`` (reference ``train_util.py:298-311``)."""
     m = re.search(r"model(\d+)\.\w+$", os.path.basename(filename))

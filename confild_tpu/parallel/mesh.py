@@ -20,6 +20,26 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 
+# mesh axes reserved for non-batch parallelism; every other axis is treated
+# as data-parallel by ``batch_axes`` (hybrid DCN x ICI meshes shard the batch
+# over ('replica', 'data') jointly)
+NON_BATCH_AXES = frozenset({"model", "tensor", "seq", "pipe", "pipeline"})
+
+
+def batch_axes(mesh: Mesh) -> tuple[str, ...]:
+    """The mesh axes the batch dim shards over: every axis not reserved for
+    model/tensor/sequence/pipeline parallelism.  A 1-D ``('data',)`` mesh
+    returns ``('data',)``; a hybrid ``('replica', 'data')`` mesh returns both,
+    so the gradient psum is hierarchical (intra-slice over ICI first, then
+    cross-slice over DCN — XLA picks the decomposition from the topology)."""
+    return tuple(a for a in mesh.axis_names if a not in NON_BATCH_AXES)
+
+
+def batch_spec(mesh: Mesh) -> P:
+    """PartitionSpec sharding dim 0 over all data-parallel mesh axes."""
+    axes = batch_axes(mesh)
+    return P(axes if len(axes) > 1 else axes[0])
+
 
 def initialize_distributed(**kwargs) -> None:
     """Multi-host bootstrap (replaces ``dist_util.setup_dist``).  No-op on a
@@ -48,14 +68,52 @@ def get_mesh(n_devices: int | None = None,
             devices = devices[:n_devices]
     devices = np.asarray(devices)
     if len(axis_names) > 1:
-        raise ValueError("pass an explicit device grid for multi-axis meshes")
+        raise ValueError("pass an explicit device grid for multi-axis meshes"
+                         " (or use get_hybrid_mesh for DCN x ICI layouts)")
     return Mesh(devices, axis_names)
 
 
+def get_hybrid_mesh(n_slices: int | None = None,
+                    axis_names: Sequence[str] = ("replica", DATA_AXIS),
+                    devices=None) -> Mesh:
+    """2-D data mesh for multi-slice pods: axis 0 ('replica') crosses slices
+    over DCN, axis 1 ('data') stays inside a slice over ICI.  Batch shards
+    over BOTH axes (see ``batch_spec``); parameters are replicated, so the
+    only DCN traffic is the cross-slice portion of the gradient psum —
+    the layout the scaling-book recipe prescribes for pure data parallelism.
+
+    On real multi-slice hardware the grid comes from each device's
+    ``slice_index``; on single-slice or virtual (CPU) backends pass
+    ``n_slices`` to fold the device list into an (n_slices, per_slice) grid
+    for testing."""
+    if devices is None:
+        devices = jax.devices()
+    devices = list(devices)
+    slice_ids = sorted({getattr(d, "slice_index", 0) or 0 for d in devices})
+    if len(slice_ids) > 1:
+        by_slice = [[d for d in devices
+                     if (getattr(d, "slice_index", 0) or 0) == s]
+                    for s in slice_ids]
+        per = len(by_slice[0])
+        if any(len(row) != per for row in by_slice):
+            raise ValueError("uneven devices per slice: "
+                             f"{[len(r) for r in by_slice]}")
+        grid = np.asarray(by_slice)
+    else:
+        n_slices = n_slices or 1
+        if len(devices) % n_slices:
+            raise ValueError(f"{len(devices)} devices do not fold into "
+                             f"{n_slices} slices")
+        grid = np.asarray(devices).reshape(n_slices, -1)
+    return Mesh(grid, tuple(axis_names))
+
+
 def data_sharding(mesh: Mesh, ndim: int, axis: int = 0) -> NamedSharding:
-    """Shard dim ``axis`` over the data mesh axis, replicate the rest."""
+    """Shard dim ``axis`` over every data-parallel mesh axis (one axis on a
+    flat mesh, ('replica', 'data') jointly on a hybrid mesh)."""
     spec = [None] * ndim
-    spec[axis] = DATA_AXIS
+    axes = batch_axes(mesh)
+    spec[axis] = axes if len(axes) > 1 else axes[0]
     return NamedSharding(mesh, P(*spec))
 
 

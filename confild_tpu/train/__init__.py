@@ -1,1 +1,2 @@
-from confild_tpu.train import cnf_trainer, diffusion_trainer  # noqa: F401
+from confild_tpu.train import (cnf_trainer, classifier_trainer,  # noqa: F401
+                               diffusion_trainer)

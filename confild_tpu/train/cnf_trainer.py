@@ -297,7 +297,9 @@ class CNFTrainer:
             if self.mesh is None:
                 return perm
             from jax.sharding import NamedSharding, PartitionSpec as P
-            spec = (None,) * (perm.ndim - 1) + (pmesh.DATA_AXIS,)
+            axes = pmesh.batch_axes(self.mesh)
+            spec = (None,) * (perm.ndim - 1) + (
+                axes if len(axes) > 1 else axes[0],)
             return jax.device_put(perm, NamedSharding(self.mesh, P(*spec)))
 
         extra = (jnp.asarray(self.normed_extra)
@@ -333,10 +335,11 @@ class CNFTrainer:
                 # replicated — the broadcast transposes to a psum of the
                 # per-device decoder grads (DDP semantics, reference :357)
                 from jax.sharding import PartitionSpec as P
+                bspec = pmesh.batch_spec(self.mesh)
                 fused_decode = jax.shard_map(
                     fused_decode, mesh=self.mesh,
-                    in_specs=(P(), P(pmesh.DATA_AXIS), P()),
-                    out_specs=P(pmesh.DATA_AXIS),
+                    in_specs=(P(), bspec, P()),
+                    out_specs=bspec,
                     check_vma=False)  # pallas_call declares no vma info
 
         def batch_loss(nf_params, latents, idx, data):
@@ -527,6 +530,11 @@ class CNFTrainer:
             "optim_net_dec_dict": s.opt_nf_state,
             "optim_states_dict": s.opt_lat_state,
         })
+        # optional recipe key ``keep_checkpoints: N`` rotates to the newest
+        # N generations (0/absent = reference parity: keep every save)
+        keep = int(getattr(self.hp, "keep_checkpoints", 0) or 0)
+        if keep:
+            ckpt_io.rotate_checkpoints(self.save_path, keep, kind="cnf")
 
     def load(self, checkpoint_id: int = -1, siren_only: bool = False):
         """Resume: -1 picks the newest checkpoint; missing -> scratch

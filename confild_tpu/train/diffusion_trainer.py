@@ -81,6 +81,7 @@ class TrainLoop:
         mesh=None,
         seed: int = 42,
         steps_per_call: int = 1,
+        keep_checkpoints: int = 0,
     ):
         self.model = model
         self.diffusion = diffusion
@@ -98,6 +99,9 @@ class TrainLoop:
         self.lr_anneal_steps = lr_anneal_steps
         self.sampler = schedule_sampler or UniformSampler(diffusion.num_timesteps)
         self.save_dir = save_dir or (tlog.get_current().dir or ".")
+        # 0 = reference parity (keep every save); N>0 rotates to the newest
+        # N model/ema/opt triplets after each save
+        self.keep_checkpoints = keep_checkpoints
         self.mesh = mesh
         self.key = jax.random.key(seed)
         # run several optimizer steps per jitted call (scan over stacked
@@ -303,8 +307,12 @@ class TrainLoop:
 
     def run_loop(self):
         logger = tlog.get_current()
+        # lr_anneal_steps is a TOTAL-step horizon: the reference stops when
+        # step + resume_step reaches it (train_util.py:156-160) and anneals
+        # lr against the same total (:260-266).  state.step here is already
+        # the global count (initialized to resume_step), so compare directly.
         while (not self.lr_anneal_steps
-               or int(self.state.step) < self.lr_anneal_steps + self.resume_step):
+               or int(self.state.step) < self.lr_anneal_steps):
             if self.steps_per_call > 1:
                 self.run_steps(self.steps_per_call)
             else:
@@ -392,6 +400,9 @@ class TrainLoop:
         ckpt_io.save_pytree(
             os.path.join(self.save_dir, f"opt{step:06d}.ckpt"),
             self.state.opt_state)
+        if self.keep_checkpoints:
+            ckpt_io.rotate_checkpoints(self.save_dir, self.keep_checkpoints,
+                                       kind="diffusion")
         tlog.log(f"saved checkpoint at step {step}")
 
 

@@ -277,12 +277,26 @@ def main():
             yield train[idx].astype(np.float32), {}
 
     tlog.configure(os.path.join(out_dir, "dlogs"), ["csv"])
+    # interruption safety: checkpoint every 10k steps and resume from the
+    # newest model checkpoint in the run dir (lr_anneal_steps is a TOTAL
+    # horizon, so a resumed loop finishes the remaining steps only)
+    import glob
+    from confild_tpu.io import checkpoint as ckpt_io
+    dckpt = os.path.join(out_dir, "dckpt")
+    saved = sorted(glob.glob(os.path.join(dckpt, "model*.ckpt")),
+                   key=ckpt_io.parse_resume_step)
+    resume_path = ""
+    if saved and not args.fast:
+        resume_path = saved[-1]
+        print(f"      resuming diffusion from {resume_path}")
     loop = TrainLoop(model=model, diffusion=diffusion, data=data_iter(),
                      batch_size=diff_batch, lr=1e-4, ema_rate="0.999",
-                     log_interval=200, save_interval=10 ** 9,
+                     log_interval=200,
+                     save_interval=10 ** 9 if args.fast else 10000,
                      lr_anneal_steps=diff_steps,
+                     resume_checkpoint=resume_path,
                      steps_per_call=1 if args.fast else 25,
-                     save_dir=os.path.join(out_dir, "dckpt"))
+                     save_dir=dckpt)
     loop.run_loop()
     print(f"      {diff_steps} steps done ({time.time()-t0:.0f}s)")
 

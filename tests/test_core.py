@@ -1,3 +1,5 @@
+import os
+
 import numpy as np
 import pytest
 
@@ -207,3 +209,56 @@ class TestCheckpointIO:
         out = ck.restore_sharded(p)
         assert np.allclose(out["w"], 1.0)
         assert int(out["step"]) == 3
+
+    def test_rotate_cnf_checkpoints(self, tmp_path):
+        from confild_tpu.io import checkpoint as ck
+        for i in (1, 5, 3, 9, 7):
+            ck.save_pytree(str(tmp_path / f"checkpoint_{i}.ckpt"), {"i": i})
+        deleted = ck.rotate_checkpoints(str(tmp_path), keep=2, kind="cnf")
+        left = sorted(os.path.basename(p) for p in
+                      __import__("glob").glob(str(tmp_path / "*.ckpt")))
+        assert left == ["checkpoint_7.ckpt", "checkpoint_9.ckpt"]
+        assert len(deleted) == 3
+        # keep=0 / keep>present are no-ops
+        assert ck.rotate_checkpoints(str(tmp_path), keep=0) == []
+        assert ck.rotate_checkpoints(str(tmp_path), keep=5) == []
+
+    def test_rotate_diffusion_triplets(self, tmp_path):
+        """Diffusion rotation removes model/ema/opt generations as a UNIT so
+        a kept model always has its EMA and optimizer siblings."""
+        from confild_tpu.io import checkpoint as ck
+        for step in (10, 20, 30):
+            for name in (f"model{step:06d}.ckpt",
+                         f"ema_0.9999_{step:06d}.ckpt",
+                         f"opt{step:06d}.ckpt"):
+                ck.save_pytree(str(tmp_path / name), {"s": step})
+        ck.rotate_checkpoints(str(tmp_path), keep=1, kind="diffusion")
+        left = sorted(os.path.basename(p) for p in
+                      __import__("glob").glob(str(tmp_path / "*.ckpt")))
+        assert left == ["ema_0.9999_000030.ckpt", "model000030.ckpt",
+                        "opt000030.ckpt"]
+
+    def test_trainloop_keep_checkpoints(self, tmp_path):
+        """TrainLoop(keep_checkpoints=1) leaves only the newest triplet."""
+        import glob as _glob
+
+        import jax
+        from confild_tpu.diffusion import create_gaussian_diffusion
+        from confild_tpu.models import unet as junet
+        from confild_tpu.train.diffusion_trainer import TrainLoop
+        from confild_tpu.utils import logger as tlog
+
+        tlog.configure(str(tmp_path / "logs"), [])
+        model = junet.create_model(
+            image_size=8, num_channels=8, num_res_blocks=1,
+            channel_mult="1", attention_resolutions="8", num_heads=1)
+        diffusion = create_gaussian_diffusion(steps=4,
+                                              noise_schedule="cosine")
+        data = iter(lambda: (np.zeros((4, 1, 8, 8), np.float32), {}), None)
+        loop = TrainLoop(model=model, diffusion=diffusion, data=data,
+                         batch_size=4, lr=1e-4, lr_anneal_steps=6,
+                         save_interval=2, keep_checkpoints=1,
+                         save_dir=str(tmp_path / "ck"))
+        loop.run_loop()
+        models = sorted(_glob.glob(str(tmp_path / "ck" / "model*.ckpt")))
+        assert [os.path.basename(m) for m in models] == ["model000006.ckpt"]

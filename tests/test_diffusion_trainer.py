@@ -56,13 +56,23 @@ class TestTrainLoop:
         loop.run_loop()
         ckpt = str(tmp_path / "ckpts" / "model000003.ckpt")
         assert os.path.exists(ckpt)
+        # lr_anneal_steps is a TOTAL horizon (reference train_util.py:156-160:
+        # run while step + resume_step < lr_anneal_steps): resuming at 3 with
+        # a total of 5 runs exactly 2 more steps
         loop2 = TrainLoop(
             model=model, diffusion=diffusion, data=data, valid_data=None,
-            batch_size=8, lr=1e-4, lr_anneal_steps=2,
+            batch_size=8, lr=1e-4, lr_anneal_steps=5,
             resume_checkpoint=ckpt, save_dir=str(tmp_path / "ckpts"))
         assert loop2.resume_step == 3
         loop2.run_loop()
         assert int(loop2.state.step) == 5
+        # resuming past the horizon runs nothing
+        loop3 = TrainLoop(
+            model=model, diffusion=diffusion, data=data, valid_data=None,
+            batch_size=8, lr=1e-4, lr_anneal_steps=2,
+            resume_checkpoint=ckpt, save_dir=str(tmp_path / "ckpts"))
+        loop3.run_loop()
+        assert int(loop3.state.step) == 3
 
     def test_microbatch_equivalence(self, tiny_setup, tmp_path):
         """Grad accumulation over microbatches must match the full batch."""

@@ -191,3 +191,113 @@ def test_get_mesh_raises_on_insufficient_devices():
     n = len(jax.devices())
     with pytest.raises(ValueError, match="device mesh"):
         pmesh.get_mesh(n + 1)
+
+
+class TestHybridMesh:
+    """Multi-slice (DCN x ICI) data parallelism: a 2-D ('replica', 'data')
+    mesh whose batch axis shards over BOTH axes.  On real pods axis 0
+    crosses slices over DCN; here the (2, 4) grid is folded from the 8
+    virtual devices (``get_hybrid_mesh(n_slices=2)``) — the sharding
+    semantics XLA compiles are identical, only the link the collectives
+    ride differs (scaling-book pure-DP recipe)."""
+
+    @pytest.fixture(scope="class")
+    def hybrid(self):
+        return pmesh.get_hybrid_mesh(n_slices=2)
+
+    def test_grid_and_axes(self, hybrid):
+        assert hybrid.axis_names == ("replica", "data")
+        assert hybrid.devices.shape == (2, 4)
+        assert pmesh.batch_axes(hybrid) == ("replica", "data")
+        assert pmesh.batch_spec(hybrid) == jax.sharding.PartitionSpec(
+            ("replica", "data"))
+
+    def test_shard_batch_spans_both_axes(self, hybrid):
+        x = jnp.arange(16 * 3, dtype=jnp.float32).reshape(16, 3)
+        xs = pmesh.shard_batch(x, hybrid)
+        assert xs.sharding.spec == jax.sharding.PartitionSpec(
+            ("replica", "data"), None)
+        # 16 rows over 8 devices -> 2-row shards
+        assert {s.data.shape for s in xs.addressable_shards} == {(2, 3)}
+        np.testing.assert_array_equal(np.asarray(xs), np.asarray(x))
+
+    def test_diffusion_step_matches_single_device(self, hybrid, tmp_path):
+        from confild_tpu.diffusion import create_gaussian_diffusion
+        from confild_tpu.models import unet as junet
+        from confild_tpu.train.diffusion_trainer import TrainLoop
+        from confild_tpu.utils import logger as tlog
+
+        tlog.configure(str(tmp_path), [])
+        model = junet.create_model(
+            image_size=16, num_channels=32, num_res_blocks=1,
+            channel_mult="1,2", attention_resolutions="8", num_heads=2)
+        diffusion = create_gaussian_diffusion(steps=10,
+                                              noise_schedule="cosine")
+        batch = jax.random.normal(jax.random.key(0), (8, 1, 16, 16))
+
+        def make_loop(m, d):
+            rngdata = iter(lambda: (np.zeros((8, 1, 16, 16), np.float32),
+                                    {}), None)
+            return TrainLoop(model=model, diffusion=diffusion, data=rngdata,
+                             batch_size=8, lr=1e-3,
+                             save_dir=str(tmp_path / d), mesh=m)
+
+        single = make_loop(None, "a")
+        hyb = make_loop(hybrid, "b")
+        key = jax.random.key(3)
+        s1, m1 = single._train_step(single.state, batch, key)
+        s2, m2 = hyb._train_step(hyb.state,
+                                 pmesh.shard_batch(batch, hybrid), key)
+        np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                                   rtol=1e-5)
+        for a, b in zip(jax.tree.leaves(s1.params),
+                        jax.tree.leaves(s2.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+
+    def test_cnf_training_matches_single_device(self, hybrid, tmp_path):
+        import yaml
+
+        from confild_tpu import config as cfg
+        from confild_tpu.train.cnf_trainer import CNFTrainer
+
+        rng = np.random.default_rng(0)
+        fois = rng.normal(size=(16, 40, 2)).astype(np.float32)
+        coords = rng.uniform(size=(40, 2)).astype(np.float32)
+        np.save(tmp_path / "fois.npy", fois)
+        np.save(tmp_path / "coords.npy", coords)
+
+        def run(save, m):
+            recipe = {
+                "data_path": str(tmp_path / "fois.npy"),
+                "coor_path": str(tmp_path / "coords.npy"),
+                "save_path": str(tmp_path / save),
+                "lumped_latent": True,
+                "normalizer": {"method": "-11", "dim": 0},
+                "batch_size": 8, "test_batch_size": 8, "multiGPU": 1,
+                "readin_data_shape": "t N c", "batch_shape": "t N c",
+                "hidden_size": 8, "epochs": 3, "loss_fn": "MSELoss",
+                "test_criteria": "rMAE", "save_every": 2, "dims": 2,
+                "NF": {"name": "SIRENAutodecoder_film",
+                       "num_hidden_layers": 1, "out_features": 2,
+                       "hidden_features": 16},
+                "lr": {"nf": 1e-3, "latents": 1e-2},
+            }
+            p = tmp_path / f"{save}.yml"
+            p.write_text(yaml.safe_dump(recipe))
+            tr = CNFTrainer(cfg.basic_input(str(p)), mesh=m)
+            return tr.train(log_formats=())
+
+        s1 = run("single", None)
+        s2 = run("hybrid", hybrid)
+        np.testing.assert_allclose(np.asarray(s1.latents),
+                                   np.asarray(s2.latents), rtol=1e-4,
+                                   atol=1e-6)
+        for a, b in zip(jax.tree.leaves(s1.nf_params),
+                        jax.tree.leaves(s2.nf_params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-6)
+
+    def test_uneven_fold_raises(self):
+        with pytest.raises(ValueError, match="fold"):
+            pmesh.get_hybrid_mesh(n_slices=3)
