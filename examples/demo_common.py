@@ -15,6 +15,24 @@ UNet reaches — for every latent width.
 
 from __future__ import annotations
 
+import numpy as np
+
+
+def sliding_windows(per_traj: "np.ndarray", window: int, stride: int):
+    """(n_traj, n_snap, ...) -> (n_traj * n_win, window, ...) sliding
+    temporal windows, the reference's diffusion data prep (its case recipes
+    train on pre-windowed latent segments rather than whole trajectories —
+    ``UnconditionalDiffusionTraining_and_Generation/scripts/train.py:44-56``
+    loads an (n_samples, time_length, latent_length) array built upstream).
+    ``window == n_snap`` is the identity (one window per trajectory)."""
+    n_snap = per_traj.shape[1]
+    if window > n_snap or (n_snap - window) % stride:
+        raise ValueError(f"window {window} / stride {stride} do not tile "
+                         f"{n_snap} snapshots")
+    starts = range(0, n_snap - window + 1, stride)
+    return np.stack([per_traj[i, s:s + window]
+                     for i in range(per_traj.shape[0]) for s in starts])
+
 
 def build_demo_unet(n_snap: int, latent: int):
     """ADM U-Net over (1, n_snap, latent) latent images, attention at

@@ -60,8 +60,17 @@ def main():
                     help="reverse steps for the final runs")
     ap.add_argument("--seed", type=int, default=777,
                     help="held-out simulation seed (training used 0)")
-    ap.add_argument("--scales", default="0.3,1.0,3.0",
-                    help="guidance scales swept on trajectory 0")
+    ap.add_argument("--scales", default="0.03,0.1,0.3,1.0",
+                    help="guidance scales swept on trajectory 0 (the r2 "
+                         "sweep 0.3/1/3 sat entirely in the over-guided "
+                         "regime: larger scales gave WORSE sensor misfit "
+                         "and collapsed the integral timescale)")
+    ap.add_argument("--prior-check", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="prior-coverage diagnostic: oracle latent fit of "
+                         "each held-out trajectory (frozen decoder) + "
+                         "noise-and-denoise round trips of the oracle "
+                         "latent image through the unconditional prior")
     ap.add_argument("--sensor-sweep", default="1,10,100,1000",
                     help="sensor counts swept on trajectory 0 with the "
                          "tuned guidance (mirrors the reference notebook's "
@@ -98,11 +107,15 @@ def main():
         metrics_path = os.path.join(here, "demo_metrics.json")
     with open(metrics_path) as f:
         c = json.load(f)["config"]
-    n_snap, grid, latent = c["n_snap"], c["grid"], c["latent"]
+    grid, latent = c["grid"], c["latent"]
+    # the diffusion prior's image time-length: the sliding-window size when
+    # the run trained on windows, else the whole trajectory; every held-out
+    # trajectory below is reconstructed at this length
+    n_snap = c.get("window") or c["n_snap"]
 
     t0 = time.time()
     print(f"[1/5] simulating {args.n_held} held-out trajectories "
-          f"(seed {args.seed}) ...")
+          f"({n_snap} snaps, seed {args.seed}) ...")
     held = simulate_turbulence(grid, n_snap, args.n_held, seed=args.seed)
     # (n_held, T, grid, grid, 2) -> flat mesh axis
     held_flat = held.reshape(args.n_held, n_snap, grid * grid, 2)
@@ -134,7 +147,8 @@ def main():
                          for i in range(args.n_held)])    # (n_held, T, S, 2)
 
     from confild_tpu.core import normalize as cnorm
-    from confild_tpu.core.packing import unit_interval_to_minmax
+    from confild_tpu.core.packing import (minmax_to_unit_interval,
+                                          unit_interval_to_minmax)
 
     y_norm_full = tr.out_normalizer
 
@@ -151,6 +165,105 @@ def main():
     noiser = get_noise("clean")
     nf_params = tr.state.nf_params
     _compiled = {}
+
+    # --- [2b] prior-coverage diagnostic ---------------------------------
+    # Separates the two failure modes of sparse-sensor DPS: (a) the decoder
+    # cannot represent held-out physics (oracle latent fit = latent-only
+    # Adam against the frozen decoder, the reference trainer's cadence with
+    # fix_nf semantics), vs (b) the diffusion prior assigns the held-out
+    # latent image no mass (noise-and-denoise round trip: q_sample the
+    # oracle image to t*, reverse-diffuse back, measure field error).
+    prior_coverage = None
+    if args.prior_check:
+        import optax
+        from confild_tpu.diffusion import create_gaussian_diffusion as _cgd
+        full_diff = _cgd(steps=1000, noise_schedule="cosine",
+                         timestep_respacing=str(args.steps)
+                         if args.steps != 1000 else "")
+        xn_full = tr.in_normalizer.as_jax().normalize(
+            jnp.asarray(full_coords))
+        ynorm_jax = tr.out_normalizer.as_jax()
+        opt = optax.adam(1e-2)
+
+        @jax.jit
+        def fit_oracle(y_target):
+            """Latent rows minimizing the frozen-decoder misfit (600 Adam
+            steps; the CNF trainer's per-batch latent optimizer, fix_nf)."""
+            yn = ynorm_jax.normalize(y_target)
+            z0 = jnp.zeros((y_target.shape[0], latent), jnp.float32)
+
+            def loss_fn(z):
+                pred = tr.model(nf_params, xn_full, z[:, None, :])
+                return jnp.mean((pred - yn) ** 2)
+
+            def step(carry, _):
+                z, ost = carry
+                g = jax.grad(loss_fn)(z)
+                up, ost = opt.update(g, ost, z)
+                return (optax.apply_updates(z, up), ost), None
+
+            (z, _), _ = jax.lax.scan(step, (z0, opt.init(z0)),
+                                     length=600)
+            return z
+
+        @jax.jit
+        def roundtrip(params, x0, t_star, key):
+            """q_sample to t_star, then reverse-diffuse back to 0 with the
+            unconditional model (full 1000-step schedule, no guidance)."""
+            xt = full_diff.q_sample(
+                x0, jnp.full((x0.shape[0],), t_star, jnp.int32),
+                jax.random.normal(key, x0.shape, x0.dtype))
+
+            def model_fn(x, t, **kw):
+                return model.apply(params, x, t)
+
+            def step(img, i):
+                tt = jnp.full((img.shape[0],), i, jnp.int32)
+                out = full_diff.p_sample(model_fn, img, tt,
+                                         jax.random.fold_in(key, i))
+                # freeze steps above t_star so one scan serves any t_star
+                return jnp.where(i < t_star, out["sample"], img), None
+
+            img, _ = jax.lax.scan(step, xt,
+                                  jnp.arange(full_diff.num_timesteps - 1,
+                                             -1, -1))
+            return img
+
+        print("[2b/5] prior-coverage diagnostic ...")
+        oracle_rmae, rt_rows = [], []
+        for i in range(args.n_held):
+            z = fit_oracle(jnp.asarray(held_flat[i]))
+            dec = np.asarray(tr.infer(full_coords, z))
+            oracle_rmae.append(float(np.mean(per_channel_rmae(
+                dec, held_flat[i]))))
+            x0 = jnp.asarray(minmax_to_unit_interval(
+                np.asarray(z), mx, mn))[None, None]      # (1,1,T,L)
+            n_ts = full_diff.num_timesteps
+            for t_star in (n_ts // 4, n_ts // 2, (3 * n_ts) // 4):
+                img = roundtrip(ema, x0, t_star, jax.random.key(50 + i))
+                rt_lat = unit_interval_to_minmax(
+                    np.asarray(img)[0, 0], mx, mn)
+                rt_dec = np.asarray(tr.infer(full_coords,
+                                             jnp.asarray(rt_lat)))
+                rt_rows.append({
+                    "traj": i, "t_star": int(t_star),
+                    "t_star_frac": float(t_star) / n_ts,
+                    "field_rmae_vs_truth": float(np.mean(
+                        per_channel_rmae(rt_dec, held_flat[i]))),
+                    "latent_rel_l2": float(
+                        np.linalg.norm(np.asarray(img)[0, 0]
+                                       - np.asarray(x0)[0, 0])
+                        / np.linalg.norm(np.asarray(x0)[0, 0])),
+                })
+            print(f"      traj {i}: oracle rMAE {oracle_rmae[-1]:.4f}, "
+                  f"round-trip rMAE "
+                  f"{[round(r['field_rmae_vs_truth'], 3) for r in rt_rows[-3:]]}"
+                  f" @ t*/T=1/4,1/2,3/4 ({time.time()-t0:.0f}s)")
+        prior_coverage = {
+            "oracle_field_rmae": oracle_rmae,
+            "oracle_field_rmae_mean": float(np.mean(oracle_rmae)),
+            "roundtrip": rt_rows,
+        }
 
     def run_ensemble(coords, yn_params, measurement, scale, steps, n_ens,
                      seed, method="ps"):
@@ -461,6 +574,7 @@ def main():
         "field_rmae_unconditional_control": uncond_rmae,
         "conditioning_gain": uncond_rmae / max(field_rmae_held_out, 1e-9),
         "sensor_sweep": sensor_sweep,
+        "prior_coverage": prior_coverage,
         "spectra_relative_error": float(spec_err),
         "integral_timescale_truth": tau_true,
         "integral_timescale_conditional": tau_cond,

@@ -67,11 +67,18 @@ def main():
     c = metrics["config"]
     n_traj, n_snap, grid, latent = (c["n_traj"], c["n_snap"], c["grid"],
                                     c["latent"])
+    # runs trained on sliding windows generate window-length samples;
+    # truth-side metrics window the real trajectories identically
+    window = c.get("window") or n_snap
+    stride = c.get("window_stride", 4)
     n_gen = args.n_gen or c.get("n_gen", 64)
     sample_steps = args.sample_steps or c.get("sample_steps", 500)
 
     flat = np.load(os.path.join(out_dir, "fois.npy"))
     fields = flat.reshape(n_traj, n_snap, grid, grid, 2)
+    from examples.demo_common import sliding_windows
+    real_wins = (fields if window == n_snap else
+                 sliding_windows(fields, window, stride))
 
     # --- stage-1 assets: trained CNF (resume from the saved checkpoint) ---
     hp = cfg.basic_input(os.path.join(out_dir, "cnf.yml"))
@@ -91,7 +98,7 @@ def main():
     if not emas:
         raise FileNotFoundError(f"no EMA checkpoint under {out_dir}/dckpt")
     from examples.demo_common import build_demo_unet
-    model = build_demo_unet(n_snap, latent)
+    model = build_demo_unet(window, latent)
     ema = load_unet_params(emas[-1], model)
     respaced = create_gaussian_diffusion(
         steps=1000, noise_schedule="cosine",
@@ -101,7 +108,7 @@ def main():
     def sample(params, key):
         def model_fn(x, t, **kw):
             return model.apply(params, x, t)
-        return respaced.p_sample_loop(model_fn, (8, 1, n_snap, latent), key)
+        return respaced.p_sample_loop(model_fn, (8, 1, window, latent), key)
 
     gen_batches = []
     for b in range(max(n_gen // 8, 1)):
@@ -111,7 +118,7 @@ def main():
     gen_fields = np.stack([
         np.asarray(tr.infer(tr.train_coord, jnp.asarray(gen_lat[s])))
         for s in range(n_gen)])
-    gen_grid = gen_fields.reshape(n_gen, n_snap, grid, grid, 2)
+    gen_grid = gen_fields.reshape(n_gen, window, grid, grid, 2)
 
     # --- metrics (same definitions as demo_turbulence) ---
     spec_err = spectra_relative_error(
@@ -122,8 +129,8 @@ def main():
         recon_grid[..., 0].reshape(-1, grid),
         real_eval[..., 0].reshape(-1, grid), axis=-1)
     rmae = per_channel_rmae(recon, flat[:n_eval])
-    tau_real = float(np.mean([integral_timescale(fields[i, ..., 0], 1.0)
-                              for i in range(n_traj)]))
+    tau_real = float(np.mean([integral_timescale(real_wins[i, ..., 0], 1.0)
+                              for i in range(real_wins.shape[0])]))
     per_member_tau = np.array([integral_timescale(gen_grid[i, ..., 0], 1.0)
                                for i in range(n_gen)])
     tau_gen = float(per_member_tau.mean())
@@ -180,8 +187,8 @@ def main():
     plt.close(fig)
 
     fig, ax = plt.subplots(figsize=(7, 4))
-    for i in range(min(n_traj, 8)):
-        ax.plot(temporal_autocorrelation(fields[i, ..., 0]), "k-", alpha=0.3,
+    for i in range(min(real_wins.shape[0], 8)):
+        ax.plot(temporal_autocorrelation(real_wins[i, ..., 0]), "k-", alpha=0.3,
                 label="simulation" if i == 0 else None)
     for i in range(min(n_gen, 8)):
         ax.plot(temporal_autocorrelation(gen_grid[i, ..., 0]), "r-",
@@ -203,7 +210,7 @@ def main():
         axes[0, j].imshow(fields[j, n_snap // 2, :, :, 0], cmap="RdBu_r",
                           vmin=-vmax, vmax=vmax)
         axes[0, j].set_title(f"simulated #{j}")
-        axes[1, j].imshow(gen_grid[j, n_snap // 2, :, :, 0], cmap="RdBu_r",
+        axes[1, j].imshow(gen_grid[j, window // 2, :, :, 0], cmap="RdBu_r",
                           vmin=-vmax, vmax=vmax)
         axes[1, j].set_title(f"generated #{j}")
     for ax in axes.flat:

@@ -103,6 +103,17 @@ def main():
                          "128:1)")
     ap.add_argument("--n-traj", type=int, default=None,
                     help="number of simulated trajectories (default 64)")
+    ap.add_argument("--n-snap", type=int, default=None,
+                    help="snapshots per trajectory (default 64)")
+    ap.add_argument("--window", type=int, default=0,
+                    help="train the diffusion prior on sliding temporal "
+                         "windows of this many snapshots instead of whole "
+                         "trajectories (the reference's data prep: its "
+                         "case recipes train on pre-windowed latent "
+                         "segments, giving the prior orders of magnitude "
+                         "more samples than trajectories; 0 = off)")
+    ap.add_argument("--window-stride", type=int, default=4,
+                    help="stride of the sliding window (with --window)")
     ap.add_argument("--decoder-from", default=None,
                     help="bootstrap the SIREN decoder + normalizers from an "
                          "existing cnf run dir (siren_only load); latents "
@@ -148,6 +159,12 @@ def main():
     n_traj, n_snap, grid = (4, 16, 32) if args.fast else (64, 64, 64)
     if args.n_traj is not None:
         n_traj = args.n_traj
+    if args.n_snap is not None:
+        n_snap = args.n_snap
+    window = args.window or n_snap
+    if window > n_snap or (n_snap - window) % args.window_stride:
+        raise SystemExit(f"--window {window} / stride {args.window_stride} "
+                         f"do not tile {n_snap} snapshots")
     latent = args.latent or (32 if args.fast else 64)
     cnf_epochs = (args.cnf_epochs if args.cnf_epochs is not None
                   else (40 if args.fast else 2500))
@@ -262,18 +279,25 @@ def main():
     latents = np.asarray(tr.state.latents)              # (T*traj, latent)
     imgs = latents.reshape(n_traj, n_snap, latent)
     mx, mn = float(latents.max()), float(latents.min())
-    train = minmax_to_unit_interval(imgs, mx, mn)[:, None]  # (traj,1,T,L)
+    normed = minmax_to_unit_interval(imgs, mx, mn)      # (traj, T, L)
+    # sliding windows (reference data prep: the case recipes train on
+    # pre-windowed latent segments) — (traj*n_win, 1, window, L)
+    from examples.demo_common import sliding_windows
+    train = sliding_windows(normed, window, args.window_stride)[:, None]
+    if window != n_snap:
+        print(f"      {train.shape[0]} training images "
+              f"({window}x{latent}) from {n_traj} trajectories")
 
     from examples.demo_common import build_demo_unet
-    model = build_demo_unet(n_snap, latent)
+    model = build_demo_unet(window, latent)
     diffusion = create_gaussian_diffusion(steps=1000, noise_schedule="cosine")
 
-    diff_batch = min(16 if not args.fast else 8, n_traj)
+    diff_batch = min(16 if not args.fast else 8, train.shape[0])
 
     def data_iter():
         rng = np.random.default_rng(0)
         while True:
-            idx = rng.integers(0, n_traj, size=diff_batch)
+            idx = rng.integers(0, train.shape[0], size=diff_batch)
             yield train[idx].astype(np.float32), {}
 
     tlog.configure(os.path.join(out_dir, "dlogs"), ["csv"])
@@ -310,7 +334,7 @@ def main():
     def sample(params, key):
         def model_fn(x, t, **kw):
             return model.apply(params, x, t)
-        return respaced.p_sample_loop(model_fn, (8, 1, n_snap, latent), key)
+        return respaced.p_sample_loop(model_fn, (8, 1, window, latent), key)
 
     gen_batches = []
     for b in range(max(n_gen // 8, 1)):
@@ -322,7 +346,7 @@ def main():
         out = np.asarray(tr.infer(tr.train_coord, jnp.asarray(gen_lat[s])))
         gen_fields.append(out)
     gen_fields = np.stack(gen_fields)  # (n_gen, T, n*n, 2)
-    gen_grid = gen_fields.reshape(n_gen, n_snap, grid, grid, 2)
+    gen_grid = gen_fields.reshape(n_gen, window, grid, grid, 2)
     print(f"      decoded {gen_grid.shape} ({time.time()-t0:.0f}s)")
 
     print("[5/5] physics metrics ...")
@@ -331,9 +355,13 @@ def main():
         np.concatenate([gen_grid[..., 0], gen_grid[..., 1]]).reshape(-1, grid),
         np.concatenate([fields[..., 0], fields[..., 1]]).reshape(-1, grid),
         axis=-1)
-    # integral timescale averaged over every trajectory / generated sample
-    tau_real = float(np.mean([integral_timescale(fields[i, :, :, :, 0], 1.0)
-                              for i in range(n_traj)]))
+    # integral timescale averaged over every trajectory / generated sample;
+    # with windowing, truth is windowed identically so the autocorrelation
+    # integrals compare like with like (finite-length bias cancels)
+    real_wins = (fields if window == n_snap else
+                 sliding_windows(fields, window, args.window_stride))
+    tau_real = float(np.mean([integral_timescale(real_wins[i, :, :, :, 0], 1.0)
+                              for i in range(real_wins.shape[0])]))
     tau_gen = float(np.mean([integral_timescale(gen_grid[i, :, :, :, 0], 1.0)
                              for i in range(n_gen)]))
 
@@ -348,7 +376,10 @@ def main():
         "config": {"n_traj": n_traj, "n_snap": n_snap, "grid": grid,
                    "latent": latent, "cnf_epochs": cnf_epochs,
                    "diff_steps": diff_steps, "sample_steps": sample_steps,
-                   "n_gen": n_gen, "backend": jax.default_backend()},
+                   "n_gen": n_gen, "window": window,
+                   "window_stride": args.window_stride,
+                   "n_train_images": int(train.shape[0]),
+                   "backend": jax.default_backend()},
     }
     path = os.path.join(here, "demo_metrics.json")
     with open(path, "w") as f:

@@ -52,3 +52,35 @@ def test_wide_latent_forward_runs():
     x = jnp.zeros((1, 1, 64, 128), jnp.float32)
     out = model.apply(params, x, jnp.array([5]))
     assert out.shape == (1, model.cfg.out_channels, 64, 128)
+
+
+class TestSlidingWindows:
+    """The diffusion stage's sliding-window data prep (reference trains on
+    pre-windowed latent segments; scripts/train.py:44-56 loads the windowed
+    array built upstream)."""
+
+    def test_counts_and_content(self):
+        import numpy as np
+        from examples.demo_common import sliding_windows
+        x = np.arange(2 * 16 * 3).reshape(2, 16, 3)
+        w = sliding_windows(x, window=8, stride=4)
+        # (16-8)/4+1 = 3 windows per trajectory
+        assert w.shape == (6, 8, 3)
+        np.testing.assert_array_equal(w[0], x[0, 0:8])
+        np.testing.assert_array_equal(w[1], x[0, 4:12])
+        np.testing.assert_array_equal(w[5], x[1, 8:16])
+
+    def test_identity_when_window_is_full_length(self):
+        import numpy as np
+        from examples.demo_common import sliding_windows
+        x = np.random.default_rng(0).normal(size=(3, 8, 2))
+        np.testing.assert_array_equal(sliding_windows(x, 8, 4), x)
+
+    def test_rejects_non_tiling(self):
+        import numpy as np
+        from examples.demo_common import sliding_windows
+        x = np.zeros((1, 10, 1))
+        with pytest.raises(ValueError, match="tile"):
+            sliding_windows(x, 4, 4)
+        with pytest.raises(ValueError, match="tile"):
+            sliding_windows(x, 12, 1)
