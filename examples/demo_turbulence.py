@@ -205,7 +205,10 @@ def main():
         "test_batch_size": 64, "multiGPU": 1,
         "readin_data_shape": "t N c", "batch_shape": "t N c",
         "hidden_size": latent, "epochs": cnf_epochs, "loss_fn": "MSELoss",
-        "test_criteria": "rMAE", "save_every": max(cnf_epochs // 8, 1),
+        # cadence from the TOTAL epochs this invocation runs (latent-only +
+        # joint), so a latent-only run (--cnf-epochs 0) does not degenerate
+        # to save_every=1 (an eval + checkpoint per epoch)
+        "test_criteria": "rMAE", "save_every": max(total_epochs // 8, 1),
         "dims": 2,
         "NF": {"name": "SIRENAutodecoder_film", "num_hidden_layers": 4,
                "out_features": 2, "hidden_features": 128},

@@ -11,24 +11,25 @@ fi
 cd /root/repo
 log() { echo "== $(date -u +%H:%M:%S) $*" >> /tmp/r3_queue.log; }
 
-log "respacing study (r3 run, n_gen 256; final row leaves demo_report.json at 1000 steps)"
-timeout 7200 python tools/respacing_study.py --out examples/demo_out_r3 \
-  --n-gen 256 >> /tmp/r3_queue.log 2>&1
-log "respacing rc=$?"
-
 log "windowed stage-2 run (decoder reuse from r3): 32 traj x 256 snaps, window 64 stride 4"
-timeout 14400 python examples/demo_turbulence.py --out examples/demo_out_w \
+timeout 14400 python -u examples/demo_turbulence.py --out examples/demo_out_w \
   --n-traj 32 --n-snap 256 --window 64 --window-stride 4 --latent 128 \
   --decoder-from examples/demo_out_r3/cnf_run --fix-nf-epochs 6000 \
-  --cnf-epochs 0 --diff-steps 50000 >> /tmp/r3_queue.log 2>&1
+  --cnf-epochs 0 --latent-lr-end 1e-4 --diff-steps 50000 \
+  >> /tmp/r3_queue.log 2>&1
 log "windowed run rc=$?"
 
 log "conditional DPS experiment on the windowed prior"
-timeout 10800 python examples/demo_conditional.py --out examples/demo_out_w \
+timeout 10800 python -u examples/demo_conditional.py --out examples/demo_out_w \
   >> /tmp/r3_queue.log 2>&1
 log "conditional rc=$?"
 
+log "respacing study (r3 run, n_gen 256; final row leaves demo_report.json at 1000 steps)"
+timeout 7200 python -u tools/respacing_study.py --out examples/demo_out_r3 \
+  --n-gen 256 >> /tmp/r3_queue.log 2>&1
+log "respacing rc=$?"
+
 log "bench"
-timeout 3600 python bench.py >> /tmp/r3_queue.log 2>&1
+timeout 3600 python -u bench.py >> /tmp/r3_queue.log 2>&1
 log "bench rc=$?"
 log "queue done"
