@@ -271,3 +271,35 @@ class TestConditionalEvidence:
                 < rep["field_rmae_unconditional_control"])
         for t in rep["per_trajectory"]:
             assert t["sigma3_coverage"] > 0.85
+
+
+class TestClassifierCLI:
+    def test_train_classifier_cli(self, tmp_path):
+        """Noised-classifier entry point (upstream guided-diffusion's
+        classifier_train.py role): trains on labeled latent images and
+        leaves rotating model/opt checkpoints."""
+        from confild_tpu.cli import train_classifier
+
+        rng = np.random.default_rng(3)
+        y = rng.integers(0, 2, size=32).astype(np.int32)
+        x = (rng.normal(size=(32, 8, 8)) * 0.1
+             + (y[:, None, None] * 1.0 - 0.5)).astype(np.float32)
+        np.save(tmp_path / "latents.npy", x)
+        np.save(tmp_path / "labels.npy", y)
+        recipe = {
+            "train_data_path": str(tmp_path / "latents.npy"),
+            "label_path": str(tmp_path / "labels.npy"),
+            "image_size": 8, "classifier_width": 64,
+            "classifier_depth": 1,
+            "classifier_attention_resolutions": "4",
+            "out_channels": 2, "batch_size": 8, "lr": 1e-3,
+            "lr_anneal_steps": 6, "save_interval": 2,
+            "keep_checkpoints": 1, "steps": 4,
+            "log_path": str(tmp_path / "logs"),
+        }
+        p = tmp_path / "clf.yml"
+        p.write_text(yaml.safe_dump(recipe))
+        train_classifier.main([str(p)])
+        models = sorted(f for f in os.listdir(tmp_path / "logs")
+                        if f.startswith("model"))
+        assert models == ["model000006.ckpt"]  # rotated to the newest

@@ -33,3 +33,8 @@ log "bench"
 timeout 3600 python -u bench.py >> /tmp/r3_queue.log 2>&1
 log "bench rc=$?"
 log "queue done"
+
+log "xl smoke (flash-attention gradient path at 768^2, reduced width)"
+timeout 3600 python -u tools/xl_smoke.py >> /tmp/r3_queue.log 2>&1
+log "xl smoke rc=$?"
+log "queue really done"
