@@ -114,6 +114,9 @@ def main():
                          "more samples than trajectories; 0 = off)")
     ap.add_argument("--window-stride", type=int, default=4,
                     help="stride of the sliding window (with --window)")
+    ap.add_argument("--diff-batch", type=int, default=None,
+                    help="stage-2 batch size (default min(16, n_images); "
+                         "raise it for windowed runs with many images)")
     ap.add_argument("--decoder-from", default=None,
                     help="bootstrap the SIREN decoder + normalizers from an "
                          "existing cnf run dir (siren_only load); latents "
@@ -295,7 +298,8 @@ def main():
     model = build_demo_unet(window, latent)
     diffusion = create_gaussian_diffusion(steps=1000, noise_schedule="cosine")
 
-    diff_batch = min(16 if not args.fast else 8, train.shape[0])
+    diff_batch = args.diff_batch or min(16 if not args.fast else 8,
+                                        train.shape[0])
 
     def data_iter():
         rng = np.random.default_rng(0)
