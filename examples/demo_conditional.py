@@ -431,6 +431,35 @@ def main():
                   f"{rel_l2:.4f}, sensor rMAE {sensor_rmae:.4f} "
                   f"({time.time()-t0:.0f}s)")
 
+    # in-distribution control: DPS-reconstruct a TRAINING trajectory from
+    # the same sensor budget.  Low field rMAE here with high held-out rMAE
+    # localizes the failure to prior coverage; high rMAE here too would
+    # indict the guidance itself.
+    in_dist = None
+    if args.prior_check:
+        print("      in-distribution control: DPS on training traj 0 ...")
+        n_train_snaps = latents_train.shape[0]
+        train0 = np.asarray(tr.infer(
+            full_coords, jnp.asarray(latents_train[:n_snap])))  # (T, N, 2)
+        idx0 = np.sort(np.random.default_rng(args.seed + 3).choice(
+            grid * grid, size=args.n_sensors, replace=False))
+        meas0 = train0[:, idx0, :]
+        samples, _ = run_ensemble(full_coords[idx0], ynorm_sliced(idx0),
+                                  meas0, best_scale, steps=args.steps,
+                                  n_ens=4, seed=400, method=best_method)
+        fields_id = np.stack([decode_full(unnorm(s)) for s in samples])
+        in_dist = {
+            "n_train_snaps_total": int(n_train_snaps),
+            "field_rmae": float(np.mean(per_channel_rmae(
+                fields_id.mean(0), train0))),
+            "sensor_rmae": float(
+                np.mean(np.abs(fields_id[:, :, idx0, :].mean(0) - meas0))
+                / np.mean(np.abs(meas0))),
+        }
+        print(f"      in-dist field rMAE {in_dist['field_rmae']:.4f}, "
+              f"sensor rMAE {in_dist['sensor_rmae']:.4f} "
+              f"({time.time()-t0:.0f}s)")
+
     # control: unconditional ensemble scored against the same truth
     print("      control: unconditional ensemble vs the same truth ...")
     from confild_tpu.diffusion import create_gaussian_diffusion
@@ -575,6 +604,7 @@ def main():
         "conditioning_gain": uncond_rmae / max(field_rmae_held_out, 1e-9),
         "sensor_sweep": sensor_sweep,
         "prior_coverage": prior_coverage,
+        "in_distribution_control": in_dist,
         "spectra_relative_error": float(spec_err),
         "integral_timescale_truth": tau_true,
         "integral_timescale_conditional": tau_cond,
