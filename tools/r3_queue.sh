@@ -24,17 +24,16 @@ timeout 10800 python -u examples/demo_conditional.py --out examples/demo_out_w \
   >> /tmp/r3_queue.log 2>&1
 log "conditional rc=$?"
 
-log "respacing study (r3 run, n_gen 256; final row leaves demo_report.json at 1000 steps)"
-timeout 7200 python -u tools/respacing_study.py --out examples/demo_out_r3 \
-  --n-gen 256 >> /tmp/r3_queue.log 2>&1
-log "respacing rc=$?"
-
 log "bench"
 timeout 3600 python -u bench.py >> /tmp/r3_queue.log 2>&1
 log "bench rc=$?"
-log "queue done"
+
+log "respacing study (r3 run, n_gen 256; final row leaves demo_report.json at 1000 steps)"
+timeout 10800 python -u tools/respacing_study.py --out examples/demo_out_r3 \
+  --n-gen 256 >> /tmp/r3_queue.log 2>&1
+log "respacing rc=$?"
 
 log "xl smoke (flash-attention gradient path at 768^2, reduced width)"
 timeout 3600 python -u tools/xl_smoke.py >> /tmp/r3_queue.log 2>&1
 log "xl smoke rc=$?"
-log "queue really done"
+log "queue done"
