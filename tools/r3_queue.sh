@@ -15,7 +15,7 @@ log "windowed stage-2 run (decoder reuse from r3): 32 traj x 256 snaps, window 6
 timeout 14400 python -u examples/demo_turbulence.py --out examples/demo_out_w \
   --n-traj 32 --n-snap 256 --window 64 --window-stride 4 --latent 128 \
   --decoder-from examples/demo_out_r3/cnf_run --fix-nf-epochs 6000 \
-  --cnf-epochs 0 --latent-lr-end 1e-4 --diff-steps 50000 --diff-batch 64 \
+  --cnf-epochs 0 --latent-lr-end 1e-4 --diff-steps 30000 --diff-batch 64 \
   >> /tmp/r3_queue.log 2>&1
 log "windowed run rc=$?"
 
