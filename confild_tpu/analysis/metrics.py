@@ -149,3 +149,37 @@ def spectra_relative_error(field_a: np.ndarray, field_b: np.ndarray,
     _, ea = energy_spectrum_1d(field_a, axis)
     _, eb = energy_spectrum_1d(field_b, axis)
     return float(np.linalg.norm(ea - eb) / np.linalg.norm(eb))
+
+
+def velocity_pdf(field: np.ndarray, bins: int = 81, span_sigma: float = 5.0,
+                 standardize: bool = True):
+    """Histogram PDF of (optionally standardized) velocity samples — the
+    paper-level "turbulence statistics" comparison (Nature Comms 15:10416;
+    the reference repo codes only the integral-timescale gate,
+    ``Analysis/calculate_integral_timescale.py``).  Returns (centers, pdf);
+    bins span +-``span_sigma`` standard deviations."""
+    x = np.asarray(field, np.float64).ravel()
+    if standardize:
+        x = (x - x.mean()) / max(x.std(), 1e-12)
+    edges = np.linspace(-span_sigma, span_sigma, bins + 1)
+    pdf, _ = np.histogram(x, bins=edges, density=True)
+    centers = 0.5 * (edges[1:] + edges[:-1])
+    return centers, pdf
+
+
+def pdf_jensen_shannon(field_a: np.ndarray, field_b: np.ndarray,
+                       bins: int = 81) -> float:
+    """Jensen-Shannon divergence (base 2, in [0, 1]) between the
+    standardized velocity PDFs of two field sets.  0 = identical
+    distributions; a scalar gate for the paper's PDF-overlay plots."""
+    _, pa = velocity_pdf(field_a, bins)
+    _, pb = velocity_pdf(field_b, bins)
+    pa = pa / max(pa.sum(), 1e-300)
+    pb = pb / max(pb.sum(), 1e-300)
+    m = 0.5 * (pa + pb)
+
+    def kl(p, q):
+        mask = p > 0
+        return float(np.sum(p[mask] * np.log2(p[mask] / q[mask])))
+
+    return 0.5 * kl(pa, m) + 0.5 * kl(pb, m)

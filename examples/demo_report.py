@@ -46,9 +46,11 @@ def main():
     from confild_tpu import config as cfg
     from confild_tpu.analysis.metrics import (energy_spectrum_1d,
                                               integral_timescale,
+                                              pdf_jensen_shannon,
                                               per_channel_rmae,
                                               spectra_relative_error,
-                                              temporal_autocorrelation)
+                                              temporal_autocorrelation,
+                                              velocity_pdf)
     from confild_tpu.cli.sample import load_unet_params
     from confild_tpu.core.packing import (minmax_to_unit_interval,
                                           unit_interval_to_minmax)
@@ -204,6 +206,29 @@ def main():
     fig.savefig(os.path.join(here, "demo_autocorr.png"), dpi=120)
     plt.close(fig)
 
+    # velocity-PDF overlay (paper-level turbulence-statistics gate): the
+    # standardized u/v sample distributions + Jensen-Shannon divergence
+    pdf_js = {
+        "u": pdf_jensen_shannon(gen_grid[..., 0], fields[..., 0]),
+        "v": pdf_jensen_shannon(gen_grid[..., 1], fields[..., 1]),
+    }
+    fig, axes_pdf = plt.subplots(1, 2, figsize=(10, 3.8))
+    for j, (ax, ch) in enumerate(zip(axes_pdf, ("u", "v"))):
+        cr, pr = velocity_pdf(fields[..., j])
+        cg, pg = velocity_pdf(gen_grid[..., j])
+        ax.semilogy(cr, np.maximum(pr, 1e-8), "k-", lw=2, label="simulation")
+        ax.semilogy(cg, np.maximum(pg, 1e-8), "r--", lw=1.5,
+                    label="generated")
+        ax.set_xlabel(f"standardized {ch}")
+        ax.set_ylabel("PDF")
+        ax.set_title(f"{ch}-velocity PDF (JS divergence "
+                     f"{pdf_js[ch]:.4f})")
+        ax.grid(alpha=0.3)
+        ax.legend(fontsize=8)
+    fig.tight_layout()
+    fig.savefig(os.path.join(here, "demo_pdf.png"), dpi=120)
+    plt.close(fig)
+
     fig, axes = plt.subplots(2, 4, figsize=(12, 6))
     vmax = np.abs(fields[..., 0]).max()
     for j in range(4):
@@ -229,6 +254,7 @@ def main():
         "timescale_ratio": tau_gen / tau_real,
         "spectra_error_ci95": spec_ci,
         "timescale_ratio_ci95": tau_ci,
+        "velocity_pdf_js_divergence": pdf_js,
         "bootstrap_resamples": 500,
         "n_gen": n_gen,
         "sample_steps": sample_steps,

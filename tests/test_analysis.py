@@ -79,3 +79,28 @@ class TestSpectra:
         rng = np.random.default_rng(2)
         f = rng.normal(size=(4, 128))
         assert metrics.spectra_relative_error(f, f) == 0.0
+
+
+class TestVelocityPDF:
+    def test_pdf_normalized_and_centered(self):
+        from confild_tpu.analysis.metrics import velocity_pdf
+        rng = np.random.default_rng(0)
+        c, p = velocity_pdf(rng.normal(3.0, 2.0, size=100000))
+        # standardized: density integrates to ~1, peak near 0
+        assert abs(np.trapezoid(p, c) - 1.0) < 0.01
+        assert abs(c[np.argmax(p)]) < 0.3
+
+    def test_js_divergence_gates(self):
+        from confild_tpu.analysis.metrics import pdf_jensen_shannon
+        rng = np.random.default_rng(1)
+        a = rng.normal(size=200000)
+        b = rng.normal(size=200000)
+        assert pdf_jensen_shannon(a, b) < 0.002       # same law ~ 0
+        # standardization removes mean/scale differences...
+        assert pdf_jensen_shannon(a, 5 + 3 * b) < 0.002
+        # ...but not shape differences (uniform vs normal)
+        u = rng.uniform(-1, 1, size=200000)
+        assert pdf_jensen_shannon(a, u) > 0.05
+        # symmetric
+        d1, d2 = pdf_jensen_shannon(a, u), pdf_jensen_shannon(u, a)
+        assert abs(d1 - d2) < 1e-12
