@@ -179,10 +179,22 @@ def main():
     t0 = time.time()
     print(f"[1/5] simulating {n_traj}x{n_snap} snapshots of 2-D turbulence "
           f"on {grid}^2 ...")
-    fields = simulate_turbulence(grid, n_snap, n_traj)
-    # (traj, snap, n, n, 2) -> flat sample axis for auto-decoding
-    flat = fields.reshape(n_traj * n_snap, grid * grid, 2)
-    np.save(os.path.join(out_dir, "fois.npy"), flat)
+    foi_path = os.path.join(out_dir, "fois.npy")
+    expected = (n_traj * n_snap, grid * grid, 2)
+    if os.path.exists(foi_path):
+        # resume/precompute path: the simulation is deterministic (seed 0),
+        # so an existing dataset of the right shape IS this run's data
+        flat = np.load(foi_path)
+        if flat.shape != expected:
+            raise SystemExit(f"{foi_path} has shape {flat.shape}, expected "
+                             f"{expected} — remove it to re-simulate")
+        fields = flat.reshape(n_traj, n_snap, grid, grid, 2)
+        print("      loaded existing dataset")
+    else:
+        fields = simulate_turbulence(grid, n_snap, n_traj)
+        # (traj, snap, n, n, 2) -> flat sample axis for auto-decoding
+        flat = fields.reshape(n_traj * n_snap, grid * grid, 2)
+        np.save(foi_path, flat)
     coords = np.stack(np.meshgrid(np.linspace(0, 1, grid),
                                   np.linspace(0, 1, grid),
                                   indexing="ij"), -1).reshape(-1, 2)
