@@ -125,7 +125,13 @@ def main():
     tr = CNFTrainer(hp, infer_mode=True, infer_dps=True)
     tr.load(-1)  # full load: the latent table supplies the (max, min) scale
     latents_train = np.asarray(tr.state.latents)
-    mx, mn = float(latents_train.max()), float(latents_train.min())
+    # prefer the diffusion stage's persisted latent-image scale (sigma-based
+    # when --scale-sigmas was used); fall back to table min-max for old runs
+    try:
+        mx = float(np.load(os.path.join(out_dir, "dckpt", "data_max.npy")))
+        mn = float(np.load(os.path.join(out_dir, "dckpt", "data_min.npy")))
+    except FileNotFoundError:
+        mx, mn = float(latents_train.max()), float(latents_train.min())
 
     import glob
     emas = sorted(glob.glob(os.path.join(out_dir, "dckpt", "ema_*.ckpt")))

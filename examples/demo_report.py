@@ -87,7 +87,13 @@ def main():
     tr = CNFTrainer(hp)
     tr.load(-1)
     latents = np.asarray(tr.state.latents)
-    mx, mn = float(latents.max()), float(latents.min())
+    # the diffusion stage persists its latent-image scale (sigma-based when
+    # --scale-sigmas was used); fall back to table min-max for old runs
+    try:
+        mx = float(np.load(os.path.join(out_dir, "dckpt", "data_max.npy")))
+        mn = float(np.load(os.path.join(out_dir, "dckpt", "data_min.npy")))
+    except FileNotFoundError:
+        mx, mn = float(latents.max()), float(latents.min())
 
     n_eval = min(2 * n_snap, n_traj * n_snap)
     recon = np.asarray(tr.infer(tr.train_coord, tr.state.latents[:n_eval]))

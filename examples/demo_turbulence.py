@@ -117,6 +117,16 @@ def main():
     ap.add_argument("--diff-batch", type=int, default=None,
                     help="stage-2 batch size (default min(16, n_images); "
                          "raise it for windowed runs with many images)")
+    ap.add_argument("--scale-sigmas", type=float, default=0.0,
+                    help="scale latent images by center +- K*std instead of "
+                         "min-max (0 = reference min-max parity, "
+                         "scripts/train.py:47-48). Heavy-tailed latent "
+                         "tables min-max to a bulk std far below the unit "
+                         "variance the diffusion SNR schedule assumes "
+                         "(measured: std 0.27 -> generated ensembles "
+                         "under-dispersed x0.84 -> 44%% spectra error); "
+                         "K~2.5 restores std ~0.4 with mild tail "
+                         "excursions beyond [-1, 1]")
     ap.add_argument("--decoder-from", default=None,
                     help="bootstrap the SIREN decoder + normalizers from an "
                          "existing cnf run dir (siren_only load); latents "
@@ -296,8 +306,20 @@ def main():
     print("[3/5] stage 2: diffusion training on latent images ...")
     latents = np.asarray(tr.state.latents)              # (T*traj, latent)
     imgs = latents.reshape(n_traj, n_snap, latent)
-    mx, mn = float(latents.max()), float(latents.min())
+    if args.scale_sigmas:
+        c, s = float(latents.mean()), float(latents.std())
+        mx, mn = c + args.scale_sigmas * s, c - args.scale_sigmas * s
+    else:
+        mx, mn = float(latents.max()), float(latents.min())
     normed = minmax_to_unit_interval(imgs, mx, mn)      # (traj, T, L)
+    print(f"      latent-image scale: [{mn:.3f}, {mx:.3f}] -> unit-interval "
+          f"std {normed.std():.3f}")
+    # persist the scale for the report/conditional consumers (the production
+    # CLI contract: data_max/min.npy next to the diffusion checkpoints)
+    dckpt = os.path.join(out_dir, "dckpt")
+    os.makedirs(dckpt, exist_ok=True)
+    np.save(os.path.join(dckpt, "data_max.npy"), np.float32(mx))
+    np.save(os.path.join(dckpt, "data_min.npy"), np.float32(mn))
     # sliding windows (reference data prep: the case recipes train on
     # pre-windowed latent segments) — (traj*n_win, 1, window, L)
     from examples.demo_common import sliding_windows
