@@ -249,6 +249,122 @@ def silu(x: jnp.ndarray) -> jnp.ndarray:
     return jax.nn.silu(x)
 
 
+# ---------------------------------------------------------------------------
+# Fused GroupNorm(+FiLM)+SiLU
+#
+# The UNet's hot elementwise chain is norm -> (scale-shift) -> silu; run
+# unfused it costs five-plus full-resolution memory passes per direction
+# (profiled: GN 16.6% + SiLU 9.9% of the Case4 guided step).  The FiLM
+# modulation folds into the normalizer's per-(B, C) affine coefficients
+# (y = gn(x)*(1+s)+t is still y = x*A + B), so the whole chain is ONE
+# elementwise pass over x in its own dtype, and the backward is two fused
+# passes (one reduction pass for the per-channel sums, one dx pass), with
+# the pre-activation z recomputed from x instead of materialized.
+# ---------------------------------------------------------------------------
+
+def _gn_film_coeffs(scale, bias, film_s, film_t, x, g, eps):
+    """Per-(B, C) f32 affine coefficients of z = x*A + B for the
+    normalized + FiLM-modulated pre-activation, plus the group moments."""
+    mean, inv = _gn_moments(x, g, eps)
+    c = x.shape[-1]
+    gam = scale.astype(jnp.float32)[None] * (1.0 + film_s)       # (B, C)
+    bet = bias.astype(jnp.float32)[None] * (1.0 + film_s) + film_t
+    a = _gn_expand(inv, c) * gam
+    b2 = bet - _gn_expand(mean * inv, c) * gam
+    return a, b2, gam, mean, inv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _gn_silu_core(scale, bias, film_s, film_t, x, g, eps):
+    a, b2, _, _, _ = _gn_film_coeffs(scale, bias, film_s, film_t, x, g, eps)
+    return jax.nn.silu(_gn_affine(x, a, b2))
+
+
+def _gn_silu_fwd(scale, bias, film_s, film_t, x, g, eps):
+    a, b2, _, mean, inv = _gn_film_coeffs(scale, bias, film_s, film_t,
+                                          x, g, eps)
+    # z is recomputed in the backward from x (one multiply-add), so only
+    # the tiny moment arrays are carried as residuals beyond x itself
+    return (jax.nn.silu(_gn_affine(x, a, b2)),
+            (scale, bias, film_s, film_t, x, mean, inv))
+
+
+def _gn_silu_bwd(g, eps, res, dy):
+    """dz = dy * silu'(z) with z recomputed, then the fused-GN backward
+    algebra of ``_gn_bwd`` with the per-(B, C) gain G = gamma*(1+s):
+        dx = dz*P + x*Q + R,  P = inv*G,
+        Q = -inv^2 * mean_g(dz_hat * xh),  R from the same group means,
+    where the only full-resolution work is one reduction pass over
+    (dz, dz*x) and one elementwise dx pass."""
+    scale, bias, film_s, film_t, x, mean, inv = res
+    b, c = x.shape[0], x.shape[-1]
+    n = int(np.prod(x.shape[1:-1])) * (c // g)
+    red = tuple(range(1, x.ndim - 1))
+    bshape = (b,) + (1,) * (x.ndim - 2) + (c,)
+    gam = scale.astype(jnp.float32)[None] * (1.0 + film_s)       # (B, C)
+    bet = bias.astype(jnp.float32)[None] * (1.0 + film_s) + film_t
+    a = _gn_expand(inv, c) * gam
+    b2 = bet - _gn_expand(mean * inv, c) * gam
+
+    def dz_of(dtype):
+        """dy * silu'(x*A + B) in the given dtype; fused by XLA into each
+        consumer so the full-res dz is never materialized."""
+        z = (x.astype(dtype) * a.reshape(bshape).astype(dtype)
+             + b2.reshape(bshape).astype(dtype))
+        sig = jax.nn.sigmoid(z)
+        return dy.astype(dtype) * (sig * (1.0 + z * (1.0 - sig)))
+
+    # pass 1: per-channel f32 reductions (convert fuses into the reduce)
+    dzf = dz_of(jnp.float32)
+    r1 = jnp.sum(dzf, axis=red)                                  # (B, C)
+    r2 = jnp.sum(dzf * x.astype(jnp.float32), axis=red)          # (B, C)
+    cg = c // g
+    t1 = (gam * r1).reshape(b, g, cg).sum(-1, keepdims=True)
+    t2 = (gam * (r2 - _gn_expand(mean, c) * r1)
+          ).reshape(b, g, cg).sum(-1, keepdims=True)
+    m1 = t1 / n                                                  # (B, g, 1)
+    m2 = inv * t2 / n
+    p = _gn_expand(inv, c) * gam
+    q = _gn_expand(-inv * inv * m2, c)
+    r = _gn_expand(inv * inv * mean * m2 - inv * m1, c)
+    # pass 2: dx in the activation dtype, dz recomputed
+    dz = dz_of(x.dtype)
+    dx = (dz * p.reshape(bshape).astype(x.dtype)
+          + x * q.reshape(bshape).astype(x.dtype)
+          + r.reshape(bshape).astype(x.dtype)).astype(x.dtype)
+    # parameter/FiLM grads from the same (B, C) reductions (tiny, f32)
+    xhat_sum = _gn_expand(inv, c) * (r2 - _gn_expand(mean, c) * r1)
+    dscale = ((1.0 + film_s) * xhat_sum).sum(0).astype(scale.dtype)
+    dbias = ((1.0 + film_s) * r1).sum(0).astype(scale.dtype)
+    dfilm_s = (scale.astype(jnp.float32)[None] * xhat_sum
+               + bias.astype(jnp.float32)[None] * r1).astype(film_s.dtype)
+    dfilm_t = r1.astype(film_t.dtype)
+    return dscale, dbias, dfilm_s, dfilm_t, dx
+
+
+_gn_silu_core.defvjp(_gn_silu_fwd, _gn_silu_bwd)
+
+
+def group_norm_silu(params: dict, x: jnp.ndarray, num_groups: int = 32,
+                    eps: float = 1e-5, film_scale=None,
+                    film_shift=None) -> jnp.ndarray:
+    """silu(group_norm(x) * (1 + film_scale) + film_shift) as one fused
+    custom-VJP op (FiLM terms optional, (B, C) or broadcastable); exactly
+    the reference ResBlock chain ``src/unet.py:233-241`` with the
+    scale-shift-norm modulation folded into the normalizer affine."""
+    b, c = x.shape[0], x.shape[-1]
+    g = min(num_groups, c)
+    assert c % g == 0, f"channels {c} not divisible by groups {g}"
+    zeros = jnp.zeros((b, c), jnp.float32)
+    fs = (zeros if film_scale is None
+          else jnp.broadcast_to(film_scale.reshape(b, -1), (b, c))
+          .astype(jnp.float32))
+    ft = (zeros if film_shift is None
+          else jnp.broadcast_to(film_shift.reshape(b, -1), (b, c))
+          .astype(jnp.float32))
+    return _gn_silu_core(params["scale"], params["bias"], fs, ft, x, g, eps)
+
+
 def nearest_upsample(x: jnp.ndarray, dims: int) -> jnp.ndarray:
     """2x nearest-neighbor upsample over the inner-two spatial dims for 3-D
     and all spatial dims otherwise (reference ``src/unet.py:100-110``)."""

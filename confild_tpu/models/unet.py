@@ -290,7 +290,7 @@ def _resample(x, dims: int, up: bool):
 
 
 def _apply_res(p: Params, spec: ResSpec, x, emb, *, dropout_rng=None):
-    h = tnn.silu(tnn.group_norm(p["in_norm"], x))
+    h = tnn.group_norm_silu(p["in_norm"], x)
     if spec.up or spec.down:
         h = _resample(h, spec.dims, spec.up)
         x = _resample(x, spec.dims, spec.up)
@@ -300,12 +300,13 @@ def _apply_res(p: Params, spec: ResSpec, x, emb, *, dropout_rng=None):
     emb_out = emb_out.reshape(emb_out.shape[0],
                               *(1,) * (h.ndim - 2), emb_out.shape[-1])
     if spec.use_scale_shift_norm:
+        # the FiLM modulation folds into the fused norm's affine pass
         scale, shift = jnp.split(emb_out, 2, axis=-1)
-        h = tnn.group_norm(p["out_norm"], h) * (1 + scale) + shift
-        h = tnn.silu(h)
+        h = tnn.group_norm_silu(p["out_norm"], h, film_scale=scale,
+                                film_shift=shift)
     else:
         h = h + emb_out
-        h = tnn.silu(tnn.group_norm(p["out_norm"], h))
+        h = tnn.group_norm_silu(p["out_norm"], h)
     if spec.dropout > 0 and dropout_rng is not None:
         keep = 1.0 - spec.dropout
         mask = jax.random.bernoulli(dropout_rng, keep, h.shape)
@@ -535,9 +536,14 @@ class UNetModel:
             h = jnp.concatenate([h, hs.pop()], axis=-1)
             h = maybe_ckpt(bp, bs, h, emb, rng)
 
-        h = h.astype(in_dtype)
-        h = tnn.silu(tnn.group_norm(params["out_norm"], h))
+        # final norm+silu+conv run in the torso dtype (the reference's fp16
+        # path does the same: unet.py:625-630 casts h to x.dtype only after
+        # convert_module_to_f16 left self.out in half precision); casting to
+        # f32 BEFORE this chain ran the whole 384^2x128 tail in f32 —
+        # profiled ~6% of the Case4 guided step
+        h = tnn.group_norm_silu(params["out_norm"], h)
         h = tnn.conv(params["out_conv"], h)
+        h = h.astype(in_dtype)
         if channels_first:
             h = jnp.moveaxis(h, -1, 1)
         return h

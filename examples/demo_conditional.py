@@ -44,7 +44,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from examples.demo_turbulence import simulate_turbulence  # noqa: E402
+from examples.demo_turbulence import (FLOW_PRESETS,  # noqa: E402
+                                      simulate_turbulence)
 
 
 def main():
@@ -112,11 +113,17 @@ def main():
     # the run trained on windows, else the whole trajectory; every held-out
     # trajectory below is reconstructed at this length
     n_snap = c.get("window") or c["n_snap"]
+    # held-out data MUST come from the same flow as the training run: for
+    # the 'forced' (stationary) flow a fresh-seed trajectory lives on the
+    # training attractor, which is what makes this experiment well-posed
+    flow = c.get("flow", "decaying")
+    flow_kw = FLOW_PRESETS[flow]
 
     t0 = time.time()
-    print(f"[1/5] simulating {args.n_held} held-out trajectories "
+    print(f"[1/5] simulating {args.n_held} held-out {flow} trajectories "
           f"({n_snap} snaps, seed {args.seed}) ...")
-    held = simulate_turbulence(grid, n_snap, args.n_held, seed=args.seed)
+    held = simulate_turbulence(grid, n_snap, args.n_held, seed=args.seed,
+                               **flow_kw)
     # (n_held, T, grid, grid, 2) -> flat mesh axis
     held_flat = held.reshape(args.n_held, n_snap, grid * grid, 2)
 

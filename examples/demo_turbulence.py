@@ -33,16 +33,47 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # 2-D decaying turbulence (pseudo-spectral NS, vorticity form)
 # ---------------------------------------------------------------------------
 
+# The two demo flows.  ``decaying`` is the original freely-decaying setup;
+# ``forced`` adds Kolmogorov forcing + Ekman drag so the flow reaches a
+# STATISTICALLY STATIONARY state — the regime of every reference case
+# (channel flow / periodic hills / 3-D HIT are all statistically steady),
+# and the precondition for the conditional experiment: held-out
+# trajectories live on the same attractor as the training data, so
+# sparse-sensor DPS reconstruction is a well-posed in-distribution task.
+# (With decaying flow + random ICs, held-out trajectories are new random
+# draws the prior has never covered — measured: frozen-decoder oracle rMAE
+# 0.41 on a 4x-longer horizon, DPS field rMAE ~1.0.)
+FLOW_PRESETS = {
+    "decaying": dict(forcing=0.0, drag=0.0, k_f=0,
+                     steps_per_snap=4, burn_in=40),
+    # tuned for stationarity (energy 0.30-0.36 with no drift over 256
+    # snaps; integral timescale ~7 snaps; u range +-3.5)
+    "forced": dict(forcing=1.2, drag=0.2, k_f=6,
+                   steps_per_snap=12, burn_in=3000),
+}
+
+
 def simulate_turbulence(n: int = 64, n_snapshots: int = 64, n_traj: int = 16,
                         nu: float = 1e-3, dt: float = 5e-3,
-                        steps_per_snap: int = 4, seed: int = 0) -> np.ndarray:
-    """Returns velocity fields (n_traj, n_snapshots, n, n, 2)."""
+                        steps_per_snap: int = 4, seed: int = 0,
+                        forcing: float = 0.0, drag: float = 0.0,
+                        k_f: int = 6, burn_in: int = 40) -> np.ndarray:
+    """Pseudo-spectral 2-D Navier-Stokes (vorticity form, 2/3-dealiased,
+    RK2).  ``forcing > 0`` adds Kolmogorov forcing ``f_u = A sin(k_f y)``
+    (as the vorticity source ``-A k_f cos(k_f y)``) and linear Ekman drag
+    ``-drag * w`` — the standard stationary-turbulence setup.  Returns
+    velocity fields (n_traj, n_snapshots, n, n, 2)."""
     rng = np.random.default_rng(seed)
     k = np.fft.fftfreq(n, 1.0 / n)
     kx, ky = np.meshgrid(k, k, indexing="ij")
     k2 = kx ** 2 + ky ** 2
     k2_inv = np.where(k2 == 0, 1.0, k2)
     dealias = (np.abs(kx) < n / 3) & (np.abs(ky) < n / 3)
+    f_hat = 0.0
+    if forcing:
+        y = np.linspace(0, 2 * np.pi, n, endpoint=False)
+        _, Y = np.meshgrid(y, y, indexing="ij")
+        f_hat = np.fft.fft2(-forcing * k_f * np.cos(k_f * Y))
 
     def velocity(w_hat):
         psi_hat = w_hat / k2_inv
@@ -55,7 +86,7 @@ def simulate_turbulence(n: int = 64, n_snapshots: int = 64, n_traj: int = 16,
         wx = np.real(np.fft.ifft2(1j * kx * w_hat))
         wy = np.real(np.fft.ifft2(1j * ky * w_hat))
         adv_hat = np.fft.fft2(u * wx + v * wy) * dealias
-        return -adv_hat - nu * k2 * w_hat
+        return -adv_hat - (nu * k2 + drag) * w_hat + f_hat
 
     all_traj = []
     for traj in range(n_traj):
@@ -66,8 +97,7 @@ def simulate_turbulence(n: int = 64, n_snapshots: int = 64, n_traj: int = 16,
         w = np.real(np.fft.ifft2(w_hat))
         w_hat = np.fft.fft2(w / max(np.abs(w).max(), 1e-9) * 5.0)
 
-        # burn-in
-        for _ in range(40):
+        for _ in range(burn_in):
             k1 = rhs(w_hat)
             k2_ = rhs(w_hat + dt * k1)
             w_hat = w_hat + dt * 0.5 * (k1 + k2_)
@@ -101,6 +131,12 @@ def main():
                          "capacity lever when the CNF recon floor binds: a "
                          "64-float latent row compresses a 64^2x2 snapshot "
                          "128:1)")
+    ap.add_argument("--flow", choices=sorted(FLOW_PRESETS), default="decaying",
+                    help="'forced' = Kolmogorov-forced STATIONARY turbulence "
+                         "(the reference cases' regime: held-out data lives "
+                         "on the training attractor, making the conditional "
+                         "experiment well-posed); 'decaying' = the original "
+                         "freely-decaying setup")
     ap.add_argument("--n-traj", type=int, default=None,
                     help="number of simulated trajectories (default 64)")
     ap.add_argument("--n-snap", type=int, default=None,
@@ -187,24 +223,33 @@ def main():
     n_gen = 8 if args.fast else 64
 
     t0 = time.time()
-    print(f"[1/5] simulating {n_traj}x{n_snap} snapshots of 2-D turbulence "
-          f"on {grid}^2 ...")
+    flow_kw = FLOW_PRESETS[args.flow]
+    print(f"[1/5] simulating {n_traj}x{n_snap} snapshots of {args.flow} "
+          f"2-D turbulence on {grid}^2 ...")
     foi_path = os.path.join(out_dir, "fois.npy")
+    meta_path = os.path.join(out_dir, "sim_meta.json")
     expected = (n_traj * n_snap, grid * grid, 2)
     if os.path.exists(foi_path):
         # resume/precompute path: the simulation is deterministic (seed 0),
-        # so an existing dataset of the right shape IS this run's data
+        # so an existing dataset of the right shape AND flow IS this data
+        prev_flow = "decaying"
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                prev_flow = json.load(f).get("flow", "decaying")
         flat = np.load(foi_path)
-        if flat.shape != expected:
-            raise SystemExit(f"{foi_path} has shape {flat.shape}, expected "
-                             f"{expected} — remove it to re-simulate")
+        if flat.shape != expected or prev_flow != args.flow:
+            raise SystemExit(
+                f"{foi_path} is {prev_flow} {flat.shape}, expected "
+                f"{args.flow} {expected} — remove it to re-simulate")
         fields = flat.reshape(n_traj, n_snap, grid, grid, 2)
         print("      loaded existing dataset")
     else:
-        fields = simulate_turbulence(grid, n_snap, n_traj)
+        fields = simulate_turbulence(grid, n_snap, n_traj, **flow_kw)
         # (traj, snap, n, n, 2) -> flat sample axis for auto-decoding
         flat = fields.reshape(n_traj * n_snap, grid * grid, 2)
         np.save(foi_path, flat)
+        with open(meta_path, "w") as f:
+            json.dump({"flow": args.flow, **flow_kw}, f)
     coords = np.stack(np.meshgrid(np.linspace(0, 1, grid),
                                   np.linspace(0, 1, grid),
                                   indexing="ij"), -1).reshape(-1, 2)
@@ -420,6 +465,7 @@ def main():
                    "n_gen": n_gen, "window": window,
                    "window_stride": args.window_stride,
                    "n_train_images": int(train.shape[0]),
+                   "flow": args.flow,
                    "backend": jax.default_backend()},
     }
     path = os.path.join(here, "demo_metrics.json")

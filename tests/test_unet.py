@@ -284,3 +284,78 @@ def test_cast_torso_params_bit_identical():
     m32 = small_model(use_bf16=False)
     p32 = m32.init(jax.random.key(0))
     assert m32.cast_torso_params(p32) is p32
+
+
+class TestGroupNormSilu:
+    """Fused GroupNorm(+FiLM)+SiLU (``nn.group_norm_silu``): forward and
+    custom-VJP backward vs the unfused composition autodiffed by JAX —
+    the exact ResBlock chain (reference ``src/unet.py:233-241``)."""
+
+    @pytest.mark.parametrize("film", [False, True])
+    @pytest.mark.parametrize("shape,groups", [
+        ((2, 12, 12, 64), 32),
+        ((3, 10, 16), 16),         # 1-D
+    ])
+    def test_matches_unfused(self, shape, groups, film):
+        from confild_tpu.models import nn as tnn
+
+        c = shape[-1]
+        b = shape[0]
+        rng = np.random.default_rng(3)
+        x = jnp.asarray((rng.standard_normal(shape) * 2.1 + 0.7)
+                        .astype(np.float32))
+        p = {"scale": jnp.asarray(rng.standard_normal(c).astype(np.float32)),
+             "bias": jnp.asarray(rng.standard_normal(c).astype(np.float32))}
+        dy = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+        fs = jnp.asarray(rng.standard_normal((b, c)).astype(np.float32) * .3)
+        ft = jnp.asarray(rng.standard_normal((b, c)).astype(np.float32))
+        bshape = (b,) + (1,) * (len(shape) - 2) + (c,)
+
+        def fused(p, xx, fs, ft):
+            kw = ({"film_scale": fs, "film_shift": ft} if film else {})
+            return tnn.group_norm_silu(p, xx, num_groups=groups, **kw)
+
+        def unfused(p, xx, fs, ft):
+            h = tnn.group_norm(p, xx, num_groups=groups)
+            if film:
+                h = h * (1 + fs.reshape(bshape)) + ft.reshape(bshape)
+            return jax.nn.silu(h)
+
+        np.testing.assert_allclose(np.asarray(fused(p, x, fs, ft)),
+                                   np.asarray(unfused(p, x, fs, ft)),
+                                   rtol=2e-5, atol=2e-5)
+
+        def loss(fn):
+            def f(p, xx, fs, ft):
+                return jnp.sum(fn(p, xx, fs, ft) * dy)
+            return f
+
+        gf = jax.grad(loss(fused), argnums=(0, 1, 2, 3))(p, x, fs, ft)
+        gu = jax.grad(loss(unfused), argnums=(0, 1, 2, 3))(p, x, fs, ft)
+        np.testing.assert_allclose(np.asarray(gf[1]), np.asarray(gu[1]),
+                                   rtol=3e-4, atol=3e-4)  # dx
+        for k in ("scale", "bias"):
+            np.testing.assert_allclose(np.asarray(gf[0][k]),
+                                       np.asarray(gu[0][k]),
+                                       rtol=3e-4, atol=2e-3)
+        if film:
+            np.testing.assert_allclose(np.asarray(gf[2]), np.asarray(gu[2]),
+                                       rtol=3e-4, atol=2e-3)  # d film_scale
+            np.testing.assert_allclose(np.asarray(gf[3]), np.asarray(gu[3]),
+                                       rtol=3e-4, atol=2e-3)  # d film_shift
+
+    def test_bf16_dtype_and_accuracy(self):
+        from confild_tpu.models import nn as tnn
+
+        x = jax.random.normal(jax.random.key(1), (2, 16, 16, 64),
+                              jnp.bfloat16) * 2 + 0.5
+        p = {"scale": jnp.ones((64,)), "bias": jnp.zeros((64,))}
+        out = tnn.group_norm_silu(p, x)
+        assert out.dtype == jnp.bfloat16
+        ref = jax.nn.silu(tnn.group_norm(p, x.astype(jnp.float32)))
+        np.testing.assert_allclose(np.asarray(out, np.float32),
+                                   np.asarray(ref), atol=0.05)
+        # gradient path stays in the activation dtype
+        g = jax.grad(lambda xx: jnp.sum(
+            tnn.group_norm_silu(p, xx).astype(jnp.float32)))(x)
+        assert g.dtype == jnp.bfloat16
