@@ -72,18 +72,25 @@ def main():
     scan_steps = 25
     model, params, cparams, sampler, meth, y, img = build(scan_steps)
 
-    if mode == "fwd":
+    if mode == "fwd":     # scan-amortized UNet forward (tunnel adds ~0.5 s
+        # per dispatch, so single invocations measure the relay, not the op)
         @jax.jit
         def fn(params, img):
-            t = jnp.full((1,), 10, jnp.int32)
-            return model.apply(params, img, t)
-    elif mode == "vjp":   # fwd+bwd through the UNet only (input cotangent)
+            def body(x, i):
+                t = jnp.full((1,), 10, jnp.int32)
+                out = model.apply(params, x, t)
+                return out[:, :1] * 1e-3 + x, None
+            return jax.lax.scan(body, img, jnp.arange(scan_steps))[0]
+    elif mode == "vjp":   # scan-amortized fwd+bwd (input cotangent only)
         @jax.jit
         def fn(params, img):
-            t = jnp.full((1,), 10, jnp.int32)
-            def f(x):
-                return jnp.sum(model.apply(params, x, t)[:, :1].astype(jnp.float32))
-            return jax.grad(f)(img)
+            def body(x, i):
+                t = jnp.full((1,), 10, jnp.int32)
+                def f(xx):
+                    return jnp.sum(model.apply(params, xx, t)[:, :1]
+                                   .astype(jnp.float32))
+                return jax.grad(f)(x) * 1e-3 + x, None
+            return jax.lax.scan(body, img, jnp.arange(scan_steps))[0]
     else:                 # the real guided step inside a scan
         @jax.jit
         def fn(params, img):
@@ -98,8 +105,8 @@ def main():
     out = fn(params, img)
     _ = float(jnp.sum(out))          # force host read (tunnel)
     dt = time.perf_counter() - t0
-    per = dt / (scan_steps if mode == "step" else 1)
-    print(f"[{mode}] {per*1e3:.2f} ms" + (" /step" if mode == "step" else ""))
+    per = dt / scan_steps
+    print(f"[{mode}] {per*1e3:.2f} ms /step")
 
     trace_dir = f"/tmp/trace_{mode}"
     with jax.profiler.trace(trace_dir):
