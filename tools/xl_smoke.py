@@ -26,6 +26,7 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 from confild_tpu.core import normalize as cnorm
 from confild_tpu.diffusion import create_gaussian_diffusion
