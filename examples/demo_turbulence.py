@@ -131,6 +131,13 @@ def main():
                          "capacity lever when the CNF recon floor binds: a "
                          "64-float latent row compresses a 64^2x2 snapshot "
                          "128:1)")
+    ap.add_argument("--hidden", type=int, default=128,
+                    help="SIREN hidden width (the decoder-capacity lever: "
+                         "forced-flow fields at k_f=6 plateau at rMAE 0.38 "
+                         "under width 128 but reach 0.07 at width 256 on a "
+                         "probe subset; the reference cases use 256-384)")
+    ap.add_argument("--nf-layers", type=int, default=4,
+                    help="SIREN hidden layers (reference cases use 10-15)")
     ap.add_argument("--flow", choices=sorted(FLOW_PRESETS), default="decaying",
                     help="'forced' = Kolmogorov-forced STATIONARY turbulence "
                          "(the reference cases' regime: held-out data lives "
@@ -280,8 +287,9 @@ def main():
         # to save_every=1 (an eval + checkpoint per epoch)
         "test_criteria": "rMAE", "save_every": max(total_epochs // 8, 1),
         "dims": 2,
-        "NF": {"name": "SIRENAutodecoder_film", "num_hidden_layers": 4,
-               "out_features": 2, "hidden_features": 128},
+        "NF": {"name": "SIRENAutodecoder_film",
+               "num_hidden_layers": args.nf_layers,
+               "out_features": 2, "hidden_features": args.hidden},
         "lr": lr_block,
     }
     cnf_yml = os.path.join(out_dir, "cnf.yml")

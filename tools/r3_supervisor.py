@@ -35,46 +35,47 @@ LOG = "/tmp/r3_queue.log"
 # fresh-seed held-out trajectories.
 STEPS = [
     (
-        "forced-flow pipeline (16x384, window 64 stride 4)",
-        21600,
-        4,
-        [sys.executable, "-u", "examples/demo_turbulence.py",
-         "--flow", "forced", "--out", "examples/demo_out_f",
-         "--n-traj", "16", "--n-snap", "384",
-         "--window", "64", "--window-stride", "4", "--latent", "128",
-         "--cnf-epochs", "12000", "--latent-lr-end", "1e-4",
-         "--diff-steps", "30000", "--diff-batch", "64",
-         "--scale-sigmas", "2.5"],
-        ["examples/demo_out_f"],
+        "xl smoke (flash-attention gradient path at 768^2)",
+        3600,
+        2,
+        [sys.executable, "-u", "tools/xl_smoke.py"],
+        [],
     ),
     (
-        "conditional DPS experiment (forced stationary flow)",
+        "f2 pipeline (forced, hidden 256, latent 256, windowed sigma-scaled)",
+        28800,
+        6,
+        [sys.executable, "-u", "examples/demo_turbulence.py",
+         "--flow", "forced", "--out", "examples/demo_out_f2",
+         "--n-traj", "16", "--n-snap", "384",
+         "--window", "64", "--window-stride", "4",
+         "--latent", "256", "--hidden", "256",
+         "--cnf-epochs", "16000", "--latent-lr-end", "1e-4",
+         "--diff-steps", "30000", "--diff-batch", "64",
+         "--scale-sigmas", "2.5"],
+        ["examples/demo_out_f2"],
+    ),
+    (
+        "conditional DPS experiment (f2 prior)",
         10800,
         3,
         [sys.executable, "-u", "examples/demo_conditional.py",
-         "--out", "examples/demo_out_f"],
-        ["examples/demo_out_f"],
+         "--out", "examples/demo_out_f2"],
+        ["examples/demo_out_f2"],
+    ),
+    (
+        "respacing study (f2, n_gen 256)",
+        10800,
+        3,
+        [sys.executable, "-u", "tools/respacing_study.py",
+         "--out", "examples/demo_out_f2", "--n-gen", "256"],
+        ["examples/demo_out_f2", "examples/demo_respacing.json"],
     ),
     (
         "bench",
         3600,
         3,
         [sys.executable, "-u", "bench.py"],
-        [],
-    ),
-    (
-        "respacing study (r3 decoder, n_gen 256)",
-        10800,
-        3,
-        [sys.executable, "-u", "tools/respacing_study.py",
-         "--out", "examples/demo_out_r3", "--n-gen", "256"],
-        ["examples/demo_out_r3", "examples/demo_respacing.json"],
-    ),
-    (
-        "xl smoke (flash-attention gradient path at 768^2)",
-        3600,
-        2,
-        [sys.executable, "-u", "tools/xl_smoke.py"],
         [],
     ),
 ]
