@@ -331,6 +331,19 @@ def main():
         hp = cfg.basic_input(cnf_yml)
         tr = CNFTrainer(hp)
         tr.load(-1)
+        # --cnf-epochs is a TOTAL stage-1 horizon for plain runs: a
+        # supervisor retry that resumes from checkpoint_N trains only the
+        # remaining epochs instead of appending another full budget
+        # (CNFTrainer.train itself treats hp.epochs as additional-on-resume,
+        # the reference trainer's contract).  Bootstrap runs
+        # (--decoder-from/--fix-nf-epochs) keep additive semantics: their
+        # epoch counter mixes latent-only and joint phases.
+        if tr.state is not None and not args.fix_nf_epochs:
+            done = int(tr.state.epoch)
+            if done:
+                hp.epochs = max(cnf_epochs - done, 0)
+                print(f"      resuming stage 1 at epoch {done}: "
+                      f"{hp.epochs} of {cnf_epochs} remain")
 
     if args.fix_nf_epochs:
         # latent-only fit against the frozen decoder; on fresh trajectories
@@ -476,14 +489,18 @@ def main():
                    "flow": args.flow,
                    "backend": jax.default_backend()},
     }
-    path = os.path.join(here, "demo_metrics.json")
-    with open(path, "w") as f:
-        json.dump(metrics, f, indent=2)
     # the run dir gets its own copy so downstream consumers (demo_report,
     # demo_conditional) can resolve THIS run's config even when several
     # demo output dirs coexist
-    with open(os.path.join(out_dir, "demo_metrics.json"), "w") as f:
+    path = os.path.join(out_dir, "demo_metrics.json")
+    with open(path, "w") as f:
         json.dump(metrics, f, indent=2)
+    # the committed global evidence file is only touched by real runs —
+    # --fast smoke runs must not clobber it with toy-scale numbers
+    if not args.fast:
+        path = os.path.join(here, "demo_metrics.json")
+        with open(path, "w") as f:
+            json.dump(metrics, f, indent=2)
     print(json.dumps(metrics, indent=2))
     print(f"metrics -> {path}")
 
