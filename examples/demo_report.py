@@ -50,6 +50,7 @@ def main():
                                               per_channel_rmae,
                                               spectra_relative_error,
                                               temporal_autocorrelation,
+                                              two_point_correlation,
                                               velocity_pdf)
     from confild_tpu.cli.sample import load_unet_params
     from confild_tpu.core.packing import (minmax_to_unit_interval,
@@ -235,6 +236,27 @@ def main():
     fig.savefig(os.path.join(here, "demo_pdf.png"), dpi=120)
     plt.close(fig)
 
+    # two-point spatial correlation (paper-level gate, Nature Comms
+    # 15:10416 Fig. 3; the reference repo ships only the temporal
+    # integral-timescale CLI): R(r) of u along the last spatial axis,
+    # generated ensemble vs simulation, plus a relative-L2 scalar
+    r_real = two_point_correlation(fields[..., 0].reshape(-1, grid))
+    r_gen = two_point_correlation(gen_grid[..., 0].reshape(-1, grid))
+    two_point_err = float(np.linalg.norm(r_gen - r_real)
+                          / np.linalg.norm(r_real))
+    fig, ax = plt.subplots(figsize=(6.5, 4))
+    half = grid // 2 + 1
+    ax.plot(np.arange(half), r_real[:half], "k-", lw=2, label="simulation")
+    ax.plot(np.arange(half), r_gen[:half], "r--", lw=1.5, label="generated")
+    ax.set_xlabel("separation r (grid points)")
+    ax.set_ylabel("R_uu(r)")
+    ax.set_title(f"two-point correlation (rel. L2 err {two_point_err:.4f})")
+    ax.grid(alpha=0.3)
+    ax.legend()
+    fig.tight_layout()
+    fig.savefig(os.path.join(here, "demo_two_point.png"), dpi=120)
+    plt.close(fig)
+
     fig, axes = plt.subplots(2, 4, figsize=(12, 6))
     vmax = np.abs(fields[..., 0]).max()
     for j in range(4):
@@ -261,6 +283,7 @@ def main():
         "spectra_error_ci95": spec_ci,
         "timescale_ratio_ci95": tau_ci,
         "velocity_pdf_js_divergence": pdf_js,
+        "two_point_correlation_error": two_point_err,
         "bootstrap_resamples": 500,
         "n_gen": n_gen,
         "sample_steps": sample_steps,
