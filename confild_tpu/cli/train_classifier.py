@@ -22,10 +22,15 @@ Recipe keys (same style as the diffusion recipes)::
     noised: true                      # classify q_sample(x, t) at random t
     steps: 1000
     noise_schedule: cosine
+    diffusion_log_path: ./diff_logs   # optional: reuse the diffusion run's
+                                      # persisted data_max/min.npy scale
+    data_max: 3.2                     # optional: explicit scale override
+    data_min: -3.2
 """
 
 from __future__ import annotations
 
+import os
 import sys
 
 import jax
@@ -47,11 +52,24 @@ def main(argv=None):
     log_dir = hp.get("log_path") or "./classifier_logs"
     tlog.configure(log_dir, ["stdout", "log", "csv"])
 
-    # same normalization contract as the diffusion stage (global min-max to
-    # [-1, 1], channel dim): the classifier sees exactly the latent images
-    # the sampler will ask it to grade
+    # Same normalization contract as the diffusion stage: the classifier must
+    # see exactly the latent-image space the sampler will ask it to grade, so
+    # prefer the scale the diffusion run persisted (data_max/min.npy in its
+    # log dir — sigma-based when the demo's --scale-sigmas was used) over a
+    # recomputed min-max, which silently diverges and degrades cond_fn
+    # gradients.  Recipe keys data_max/data_min or diffusion_log_path select
+    # it; plain min-max of the training tensor is the fallback.
     raw = np.load(hp.train_data_path).astype(np.float32)
-    mx, mn = float(raw.max()), float(raw.min())
+    if hp.get("data_max") is not None and hp.get("data_min") is not None:
+        mx, mn = float(hp.data_max), float(hp.data_min)
+    elif hp.get("diffusion_log_path"):
+        mx = float(np.load(os.path.join(hp.diffusion_log_path, "data_max.npy")))
+        mn = float(np.load(os.path.join(hp.diffusion_log_path, "data_min.npy")))
+    else:
+        mx, mn = float(raw.max()), float(raw.min())
+    if mx <= mn:
+        raise ValueError(
+            f"degenerate latent scale: data_max={mx} <= data_min={mn}")
     normed = ((raw - mn) / (mx - mn) * 2 - 1)[:, None]
     labels = np.load(hp.label_path).astype(np.int32)
     assert len(labels) == len(normed), \

@@ -131,6 +131,12 @@ class UNetConfig:
     remat_policy: str = "full"         # "full" | "matmuls" (see _REMAT_POLICIES)
     use_flash_attention: bool = False  # Pallas blockwise attention (O(N) mem)
     flash_auto: bool = False           # gate flash per block by token count
+    tail_dtype: Any = None             # dtype of the final norm+SiLU+conv;
+    # None = torso dtype (perf default, ~6% of the Case4 guided step saved);
+    # jnp.float32 = the reference's exact behavior (unet.py:662-663 casts h
+    # to x.dtype BEFORE self.out, and convert_to_fp16 never touches self.out,
+    # so the reference computes the final eps prediction in f32).  bf16-tail
+    # output error is quantified in tests/test_unet.py::test_tail_dtype_error.
 
     @property
     def emb_ch(self) -> int:
@@ -536,11 +542,15 @@ class UNetModel:
             h = jnp.concatenate([h, hs.pop()], axis=-1)
             h = maybe_ckpt(bp, bs, h, emb, rng)
 
-        # final norm+silu+conv run in the torso dtype (the reference's fp16
-        # path does the same: unet.py:625-630 casts h to x.dtype only after
-        # convert_module_to_f16 left self.out in half precision); casting to
-        # f32 BEFORE this chain ran the whole 384^2x128 tail in f32 —
-        # profiled ~6% of the Case4 guided step
+        # Final norm+SiLU+conv dtype.  The reference computes this tail in
+        # f32 (unet.py:662-663 casts h to x.dtype before self.out, and
+        # convert_to_fp16 converts only the input/middle/output blocks) —
+        # running it in the torso dtype is a DELIBERATE deviation worth ~6%
+        # of the Case4 guided step (the 384^2x128 tail dominated otherwise).
+        # cfg.tail_dtype=f32 restores reference-exact behavior; the bf16-tail
+        # output error is quantified in tests/test_unet.py.
+        tail_dtype = cfg.tail_dtype or cfg.torso_dtype
+        h = h.astype(tail_dtype)
         h = tnn.group_norm_silu(params["out_norm"], h)
         h = tnn.conv(params["out_conv"], h)
         h = h.astype(in_dtype)

@@ -38,6 +38,11 @@ def batch_axes(mesh: Mesh) -> tuple[str, ...]:
 def batch_spec(mesh: Mesh) -> P:
     """PartitionSpec sharding dim 0 over all data-parallel mesh axes."""
     axes = batch_axes(mesh)
+    if not axes:
+        raise ValueError(
+            f"mesh {mesh.axis_names} has no data-parallel axis (all axes are "
+            f"in NON_BATCH_AXES={sorted(NON_BATCH_AXES)}); add a batch axis "
+            f"such as 'data' to shard inputs over it")
     return P(axes if len(axes) > 1 else axes[0])
 
 
@@ -112,8 +117,7 @@ def data_sharding(mesh: Mesh, ndim: int, axis: int = 0) -> NamedSharding:
     """Shard dim ``axis`` over every data-parallel mesh axis (one axis on a
     flat mesh, ('replica', 'data') jointly on a hybrid mesh)."""
     spec = [None] * ndim
-    axes = batch_axes(mesh)
-    spec[axis] = axes if len(axes) > 1 else axes[0]
+    spec[axis] = batch_spec(mesh)[0]  # raises clearly if no batch axis
     return NamedSharding(mesh, P(*spec))
 
 

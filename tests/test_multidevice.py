@@ -301,3 +301,15 @@ class TestHybridMesh:
     def test_uneven_fold_raises(self):
         with pytest.raises(ValueError, match="fold"):
             pmesh.get_hybrid_mesh(n_slices=3)
+
+
+def test_batch_spec_raises_without_data_axis():
+    """A pure model-parallel mesh has no axis to shard the batch over; the
+    failure must be a clear ValueError at the call site, not an IndexError
+    deep inside spec construction (ADVICE r03)."""
+    mesh = jax.sharding.Mesh(
+        np.array(jax.devices()[:8]).reshape(4, 2), ("model", "tensor"))
+    with pytest.raises(ValueError, match="no data-parallel axis"):
+        pmesh.batch_spec(mesh)
+    with pytest.raises(ValueError, match="no data-parallel axis"):
+        pmesh.data_sharding(mesh, ndim=2)

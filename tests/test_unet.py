@@ -359,3 +359,45 @@ class TestGroupNormSilu:
         g = jax.grad(lambda xx: jnp.sum(
             tnn.group_norm_silu(p, xx).astype(jnp.float32)))(x)
         assert g.dtype == jnp.bfloat16
+
+
+class TestTailDtype:
+    """The final norm+SiLU+conv dtype knob (ADVICE r03): default runs in the
+    torso dtype (a deliberate perf deviation), tail_dtype=f32 restores the
+    reference's exact behavior (ref unet.py:662-663 casts h to x.dtype before
+    self.out; convert_to_fp16 never converts self.out)."""
+
+    def _perturbed_params(self, m):
+        params = m.init(jax.random.key(0))
+        leaves, treedef = jax.tree.flatten(params)
+        keys = jax.random.split(jax.random.key(7), len(leaves))
+        return jax.tree.unflatten(treedef, [
+            l + 0.05 * jax.random.normal(k, l.shape, l.dtype)
+            for l, k in zip(leaves, keys)])
+
+    def test_f32_torso_tail_noop(self):
+        import dataclasses
+        m = small_model()
+        params = self._perturbed_params(m)
+        m32 = junet.UNetModel(dataclasses.replace(m.cfg,
+                                                  tail_dtype=jnp.float32))
+        x = jax.random.normal(jax.random.key(1), (2, 1, 32, 32))
+        t = jnp.array([10, 700])
+        np.testing.assert_array_equal(np.asarray(m.apply(params, x, t)),
+                                      np.asarray(m32.apply(params, x, t)))
+
+    def test_bf16_tail_error_quantified(self):
+        import dataclasses
+        m = small_model(use_bf16=True)
+        params = self._perturbed_params(m)
+        m32 = junet.UNetModel(dataclasses.replace(m.cfg,
+                                                  tail_dtype=jnp.float32))
+        x = jax.random.normal(jax.random.key(1), (2, 1, 32, 32))
+        t = jnp.array([10, 700])
+        a = np.asarray(m.apply(params, x, t), np.float64)
+        b = np.asarray(m32.apply(params, x, t), np.float64)
+        # bf16 tail vs f32 tail on the SAME bf16 torso activations: the only
+        # delta is the final GroupNorm+SiLU+conv rounding — must stay within
+        # bf16 epsilon territory relative to the output scale
+        err = np.abs(a - b).max() / max(np.abs(b).max(), 1e-6)
+        assert err < 0.02, f"bf16-tail relative error {err:.4f}"
