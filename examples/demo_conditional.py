@@ -593,6 +593,9 @@ def main():
     field_rmae_held_out = float(np.mean([
         np.mean(t["field_rmae_mean"]) for t in held_out]))
     report = {
+        # provenance: which demo run dir (prior + decoder) produced these
+        # numbers (r03 judge finding: evidence files must name their run)
+        "run_dir": os.path.relpath(out_dir, here),
         "protocol": {
             "n_held": args.n_held, "n_sensors": args.n_sensors,
             "n_ens": args.n_ens, "steps": args.steps,

@@ -473,6 +473,9 @@ def main():
                              for i in range(n_gen)]))
 
     metrics = {
+        # provenance: which demo run dir produced these numbers (r03 judge
+        # finding: evidence files must name their run)
+        "run_dir": os.path.relpath(out_dir, here),
         "cnf_rmae": [float(x) for x in cnf_rmae],
         "cnf_recon_spectra_error": float(recon_spec_err),
         "spectra_relative_error": float(spec_err),
