@@ -140,3 +140,117 @@ class TestCNFTorchTrainingParity:
         for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(after)):
             np.testing.assert_array_equal(a, b)
         assert float(np.abs(np.asarray(tr.state.latents)).max()) > 0
+
+
+class TestReferenceWrittenCheckpointRoundTrip:
+    """Port a checkpoint written by the REFERENCE trainer's own save path
+    (``ConditionalNeuralField/scripts/train.py:468-479``) — not one written
+    by this framework — through ``io/torch_port.py`` and verify golden
+    forward agreement.  Covers both the trainer layout (``hidden_states`` =
+    LatentContainer state dict) and the published-checkpoint ``is_pub``
+    layout (``hidden_states`` = raw latent tensor,
+    ``cnf/inference_function.py:183-212``)."""
+
+    def _reference_model(self, torch, n=6, feats=8):
+        sys.path.insert(0, "/root/reference")
+        # scripts/train.py imports `cnf` as a top-level package
+        sys.path.insert(0, "/root/reference/ConditionalNeuralField")
+        from ConditionalNeuralField.cnf.nf_networks import (
+            SIRENAutodecoder_film)
+        from ConditionalNeuralField.scripts.train import LatentContainer
+
+        torch.manual_seed(11)
+        tmodel = SIRENAutodecoder_film(2, feats, 2, 2, 16)
+        tlat = LatentContainer(N_samples=n, N_features=feats, dims=2,
+                               lumped=True)
+        with torch.no_grad():
+            tlat.latents.normal_(0, 0.5)
+        return tmodel, tlat
+
+    def _assert_forward_parity(self, torch, tmodel, tlat, ported):
+        import jax.numpy as jnp
+
+        from confild_tpu.models.cnf import siren_film_apply
+
+        n = tlat.latents.shape[0]
+        coords = np.random.default_rng(5).uniform(
+            size=(40, 2)).astype(np.float32)
+        with torch.no_grad():
+            idx = torch.arange(n)
+            ref = tmodel(torch.from_numpy(coords),
+                         tlat(idx)).numpy()          # (N, 40, 2)
+        ours = np.asarray(siren_film_apply(
+            ported["params"], jnp.asarray(coords),
+            jnp.asarray(ported["latents"])[:, None, :]))
+        np.testing.assert_allclose(ours, ref, rtol=2e-5, atol=2e-6)
+
+    def test_trainer_save_layout(self, tmp_path):
+        torch = pytest.importorskip("torch")
+        import types
+
+        from confild_tpu.io import torch_port
+
+        tmodel, tlat = self._reference_model(torch)
+        sys.path.insert(0, "/root/reference")
+        from ConditionalNeuralField.scripts.train import trainer
+
+        opt_nf = torch.optim.Adam(tmodel.parameters(), lr=1e-4)
+        opt_lat = torch.optim.Adam(tlat.parameters(), lr=1e-3)
+        # drive the reference trainer's OWN save method, unbound, with a
+        # shim carrying only what it reads (self.hyper_para.save_path)
+        shim = types.SimpleNamespace(hyper_para=types.SimpleNamespace(
+            save_path=str(tmp_path)))
+        trainer.save(shim, tmodel, tlat, 7, opt_nf, opt_lat)
+
+        path = str(tmp_path / "checkpoint_7.pt")
+        assert os.path.exists(path)
+        ported = torch_port.load_cnf_checkpoint(path)
+        assert ported["epoch"] == 7
+        assert ported["latents"].shape == (6, 8)
+        np.testing.assert_array_equal(ported["latents"],
+                                      tlat.latents.detach().numpy())
+        self._assert_forward_parity(torch, tmodel, tlat, ported)
+
+    def test_is_pub_raw_tensor_layout(self, tmp_path):
+        torch = pytest.importorskip("torch")
+
+        from confild_tpu.io import torch_port
+
+        tmodel, tlat = self._reference_model(torch)
+        # the published checkpoints store hidden_states as the raw latent
+        # tensor (with broadcast singleton dims), not a module state dict
+        path = str(tmp_path / "checkpoint_pub.pt")
+        torch.save({
+            "epoch": 99,
+            "model_state_dict": tmodel.state_dict(),
+            "hidden_states": tlat.latents.detach()[:, None, :],  # (N, 1, F)
+        }, path)
+        ported = torch_port.load_cnf_checkpoint(path)
+        assert ported["latents"].shape == (6, 8)
+        self._assert_forward_parity(torch, tmodel, tlat, ported)
+
+    def test_reference_normalizer_file(self, tmp_path):
+        torch = pytest.importorskip("torch")
+
+        from confild_tpu.io import torch_port
+
+        sys.path.insert(0, "/root/reference")
+        from ConditionalNeuralField.cnf.utils.normalize import Normalizer_ts
+
+        # the reference trainer writes normalizer_params.pt from
+        # Normalizer_ts.get_params() (train.py:205-213)
+        xs = torch.linspace(-2, 3, 24).reshape(12, 2)
+        nx = Normalizer_ts(method="-11", dim=0)
+        nx.fit_normalize(xs)
+        ny = Normalizer_ts(method="ms", dim=0)
+        ny.fit_normalize(xs * 2 + 1)
+        path = str(tmp_path / "normalizer_params.pt")
+        torch.save({"x_normalizer_params": nx.get_params(),
+                    "y_normalizer_params": ny.get_params()}, path)
+
+        loaded = torch_port.load_normalizer_params(path)
+        for got, ref in ((loaded["x"], nx.get_params()),
+                         (loaded["y"], ny.get_params())):
+            for g, r in zip(got, ref):
+                np.testing.assert_allclose(np.asarray(g), r.numpy(),
+                                           rtol=1e-6)
