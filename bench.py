@@ -57,6 +57,7 @@ flow (f32 torso, double-traced guidance graph) as a secondary sanity ratio.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -415,8 +416,25 @@ def main():
             "assumed_utilization": A100_ASSUMED_UTIL,
             "step_flops": step_flops,
         },
+        # steady-state beyond-reference 768^2 benchmark (tools/xl_steady.py
+        # measures >=50 warm train + guided steps on the real chip and
+        # records its own device + timestamp provenance)
+        "xl": _load_xl_block(),
     }
     print(json.dumps(result))
+
+
+def _load_xl_block():
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "examples", "xl_steady.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        xl = json.load(f)
+    keys = ("image_size", "width", "train_steps_per_s", "guided_steps_per_s",
+            "guided_mfu", "flash_vs_dense", "warm_steps", "device_kind",
+            "measured_utc")
+    return {k: xl.get(k) for k in keys}
 
 
 if __name__ == "__main__":

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Sequence
 
 import jax
@@ -362,6 +363,12 @@ def group_norm_silu(params: dict, x: jnp.ndarray, num_groups: int = 32,
     ft = (zeros if film_shift is None
           else jnp.broadcast_to(film_shift.reshape(b, -1), (b, c))
           .astype(jnp.float32))
+    if os.environ.get("CONFILD_GN_FUSED", "1") == "0":
+        # debug/benchmark escape hatch: same math as one open XLA-autodiff
+        # chain, to measure what the custom VJP buys (or costs)
+        a, b2, *_ = _gn_film_coeffs(params["scale"], params["bias"], fs, ft,
+                                    x, g, eps)
+        return jax.nn.silu(_gn_affine(x, a, b2))
     return _gn_silu_core(params["scale"], params["bias"], fs, ft, x, g, eps)
 
 

@@ -58,6 +58,7 @@ class TestCLIs:
             "--num-snapshots", "4"])
         assert mse.shape == (1,) and np.isfinite(mse).all()
 
+    @pytest.mark.slow
     def test_diffusion_train_and_sample_cli(self, cnf_case, tmp_path):
         cnf_dir, cnf_yml = cnf_case
         train_cnf.main([str(cnf_yml)])
@@ -156,6 +157,7 @@ class TestCLIs:
 
 
 class TestConditionalCLI:
+    @pytest.mark.slow
     def test_sample_conditional_end_to_end(self, cnf_case, tmp_path,
                                            monkeypatch):
         """The north-star flow: DPS-guided generation from sparse sensors
@@ -348,6 +350,7 @@ class TestEvidenceGatesReject:
 
 
 class TestClassifierCLI:
+    @pytest.mark.slow
     def test_train_classifier_cli(self, tmp_path):
         """Noised-classifier entry point (upstream guided-diffusion's
         classifier_train.py role): trains on labeled latent images and

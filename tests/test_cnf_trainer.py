@@ -332,6 +332,7 @@ class TestLoadSizingAndNoopTrain:
         st = tr.train(log_formats=())
         assert int(st.epoch) == e
 
+    @pytest.mark.slow
     def test_orbax_checkpoint_restore_keeps_optimizer_structure(self, tmp_path):
         """Multi-process saves go through Orbax (a directory); restore must
         rebuild optax NamedTuple states from the structure template or the

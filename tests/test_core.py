@@ -238,6 +238,7 @@ class TestCheckpointIO:
         assert left == ["ema_0.9999_000030.ckpt", "model000030.ckpt",
                         "opt000030.ckpt"]
 
+    @pytest.mark.slow
     def test_trainloop_keep_checkpoints(self, tmp_path):
         """TrainLoop(keep_checkpoints=1) leaves only the newest triplet."""
         import glob as _glob

@@ -46,6 +46,7 @@ def test_latent64_plan_matches_legacy_config():
     assert chex_equal
 
 
+@pytest.mark.slow
 def test_wide_latent_forward_runs():
     model = build_demo_unet(64, 128)
     params = model.init(jax.random.key(0))

@@ -30,6 +30,7 @@ def tiny_setup(tmp_path):
 
 
 class TestTrainLoop:
+    @pytest.mark.slow
     def test_steps_and_checkpoint(self, tiny_setup, tmp_path):
         model, diffusion, data, vdata, _ = tiny_setup
         tlog.configure(str(tmp_path / "logs"), ["csv"])
@@ -46,6 +47,7 @@ class TestTrainLoop:
         # final save at loop end
         assert os.path.exists(tmp_path / "ckpts" / "model000009.ckpt")
 
+    @pytest.mark.slow
     def test_resume(self, tiny_setup, tmp_path):
         model, diffusion, data, vdata, _ = tiny_setup
         tlog.configure(str(tmp_path / "logs"), [])
@@ -74,6 +76,7 @@ class TestTrainLoop:
         loop3.run_loop()
         assert int(loop3.state.step) == 3
 
+    @pytest.mark.slow
     def test_microbatch_equivalence(self, tiny_setup, tmp_path):
         """Grad accumulation over microbatches must match the full batch."""
         model, diffusion, data, vdata, _ = tiny_setup
@@ -96,6 +99,7 @@ class TestTrainLoop:
         np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
                                    rtol=1e-4)
 
+    @pytest.mark.slow
     def test_ema_moves_toward_params(self, tiny_setup, tmp_path):
         model, diffusion, data, _, _ = tiny_setup
         tlog.configure(str(tmp_path / "logs"), [])
@@ -110,6 +114,7 @@ class TestTrainLoop:
         assert not np.allclose(np.asarray(ema), np.asarray(p0))
         assert not np.allclose(np.asarray(ema), np.asarray(p_now))
 
+    @pytest.mark.slow
     def test_run_steps_includes_valid_pass(self, tiny_setup, tmp_path):
         """steps_per_call>1 must still run the per-step validation forward
         (reference train_util.py:226-254)."""

@@ -244,6 +244,7 @@ class TestClassifierTrainer:
     the reference ships only the model + guidance hooks) and the trained
     ``cond_fn`` steering sampling toward the requested class."""
 
+    @pytest.mark.slow
     def test_trains_to_separate_classes_and_guides(self, tmp_path):
         from confild_tpu.diffusion import create_gaussian_diffusion
         from confild_tpu.models.unet_extras import create_classifier

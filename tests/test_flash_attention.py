@@ -203,6 +203,7 @@ class TestUNetFlashPlumbing:
 
 
 class TestUNetRingPlumbing:
+    @pytest.mark.slow
     def test_seq_parallel_unet_matches_single_device(self):
         """A UNet built with sequence_parallel_mesh must reproduce the plain
         model: same params, attention tokens sharded over the 8-device mesh

@@ -29,6 +29,7 @@ class TestMeshHelpers:
 
 
 class TestDataParallelDiffusion:
+    @pytest.mark.slow
     def test_sharded_step_matches_single_device(self, mesh, tmp_path):
         """The jitted train step must produce identical parameters whether the
         batch is sharded over 8 devices or lives on one — XLA's psum replaces
@@ -136,6 +137,7 @@ class TestDataParallelCNF:
 
 
 class TestCNFShardedEquivalence:
+    @pytest.mark.slow
     def test_sharded_matches_single(self, mesh, tmp_path):
         """CNF training with the batch axis sharded over 8 devices must match
         single-device training (same seeds)."""
@@ -221,6 +223,7 @@ class TestHybridMesh:
         assert {s.data.shape for s in xs.addressable_shards} == {(2, 3)}
         np.testing.assert_array_equal(np.asarray(xs), np.asarray(x))
 
+    @pytest.mark.slow
     def test_diffusion_step_matches_single_device(self, hybrid, tmp_path):
         from confild_tpu.diffusion import create_gaussian_diffusion
         from confild_tpu.models import unet as junet

@@ -30,18 +30,21 @@ class TestUNetShapes:
         out = m.apply(params, jnp.zeros((1, 1, 32, 32)), jnp.array([3]))
         assert out.shape == (1, 2, 32, 32)
 
+    @pytest.mark.slow
     def test_1d(self):
         m = small_model(dims=1)
         params = m.init(jax.random.key(0))
         out = m.apply(params, jnp.zeros((2, 1, 32)), jnp.array([0, 1]))
         assert out.shape == (2, 1, 32)
 
+    @pytest.mark.slow
     def test_3d(self):
         m = small_model(dims=3)
         params = m.init(jax.random.key(0))
         out = m.apply(params, jnp.zeros((1, 1, 4, 16, 16)), jnp.array([0]))
         assert out.shape == (1, 1, 4, 16, 16)
 
+    @pytest.mark.slow
     def test_timestep_dependence(self):
         m = small_model()
         params = m.init(jax.random.key(0))
@@ -215,6 +218,7 @@ class TestGroupNorm:
 
 
 @pytest.mark.parametrize("policy", ["full", "matmuls"])
+@pytest.mark.slow
 def test_remat_policy_grads_match_no_remat(policy):
     """Block remat (either policy) must be a pure memory/time trade: loss
     and parameter gradients identical to the un-rematerialized model."""
