@@ -25,6 +25,8 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from confild_tpu.models import nn as tnn
 from confild_tpu.models import unet as junet
 
@@ -124,27 +126,28 @@ def probe_updown():
 
     def down(x):
         return tnn.conv(pd, x, stride=2, padding=1)
-    t_f = bench_scan(lambda x: x + 1e-3 * jnp.pad(
-        down(x), ((0, 0), (0, SIZE // 2), (0, SIZE // 2), (0, 0)),
-        mode="wrap") if False else down(x), x)
+
+    # keep the scan carry input-shaped: cheap nearest-upsample of the output
+    t_f = bench_scan(
+        lambda x: x + 1e-3 * tnn.nearest_upsample(down(x), 2), x)
 
     def gd(x):
         return jax.grad(lambda xx: jnp.sum(down(xx).astype(jnp.float32)))(x)
     t_g = bench_scan(gd, x)
-    print(f"down conv   : fwd {t_f*1e3:7.3f} ms   dgrad {t_g*1e3:7.3f} ms "
-          f"(ratio {t_g/t_f:.2f})")
+    print(f"down conv   : fwd(+up) {t_f*1e3:7.3f} ms   dgrad {t_g*1e3:7.3f} "
+          f"ms (ratio {t_g/t_f:.2f})")
 
     xh = jax.random.normal(key, (1, SIZE // 2, SIZE // 2, 128), jnp.bfloat16)
 
     def up(x):
         return tnn.conv(pd, tnn.nearest_upsample(x, 2))
-    t_f = bench_scan(up, xh)
+    t_f = bench_scan(lambda x: x + 1e-3 * tnn.avg_pool(up(x), (2, 2)), xh)
 
     def gu(x):
-        return jax.grad(lambda xx: jnp.sum(up(xx).astype(jnp.float32)))(xh)
+        return jax.grad(lambda xx: jnp.sum(up(xx).astype(jnp.float32)))(x)
     t_g = bench_scan(gu, xh)
-    print(f"up conv     : fwd {t_f*1e3:7.3f} ms   dgrad {t_g*1e3:7.3f} ms "
-          f"(ratio {t_g/t_f:.2f})")
+    print(f"up conv     : fwd(+pool) {t_f*1e3:7.3f} ms   dgrad {t_g*1e3:7.3f}"
+          f" ms (ratio {t_g/t_f:.2f})")
 
 
 def _unet(use_checkpoint=False, remat_policy="full"):
