@@ -646,17 +646,45 @@ class CNFTrainer:
 
     # -- inference (reference :265-279) --------------------------------------
 
-    def infer(self, coord, latents) -> jnp.ndarray:
-        """Decode latent rows at (physical) coords, denormalized output."""
+    def infer(self, coord, latents, batch: int | None = None) -> jnp.ndarray:
+        """Decode latent rows at (physical) coords, denormalized output.
+
+        Evaluates in fixed-size chunks over the latent-row axis (default
+        ``hp.test_batch_size``) so bulk decodes of thousands of snapshots
+        stay within HBM — a full-table one-shot eval at hidden 256 on a
+        64^2 grid allocates O(rows * coords * hidden) activations and
+        ResourceExhausts the chip.  The remainder chunk is padded to the
+        chunk size so the decode compiles exactly once.
+        """
         coord = jnp.asarray(coord if coord is not None else self.train_coord)
         coord = self.in_normalizer.as_jax().normalize(coord)
         latents = jnp.asarray(latents)
+        n_rows = latents.shape[0]
+        chunk = batch or int(getattr(self.hp, "test_batch_size", 0) or 64)
+        chunk = max(1, min(chunk, n_rows))
         # one singleton per coord grid axis so latents broadcast against
         # coords of any rank (generalizes the reference's hardcoded
         # [:, None, None] for ndim>2, scripts/train.py:274-277, which is
         # wrong for 3-D grid coords)
         n_ones = max(coord.ndim - 1, 1)
-        rows = latents.reshape(latents.shape[0], *(1,) * n_ones,
-                               latents.shape[-1])
-        out = self.model(self.state.nf_params, coord, rows)
-        return self.out_normalizer.as_jax().denormalize(out)
+
+        @jax.jit
+        def decode(params, coord_n, rows2d):
+            rows = rows2d.reshape(rows2d.shape[0], *(1,) * n_ones,
+                                  rows2d.shape[-1])
+            out = self.model(params, coord_n, rows)
+            return self.out_normalizer.as_jax().denormalize(out)
+
+        if n_rows <= chunk:
+            return decode(self.state.nf_params, coord, latents)
+        pieces = []
+        for lo in range(0, n_rows, chunk):
+            rows2d = latents[lo:lo + chunk]
+            pad = chunk - rows2d.shape[0]
+            if pad:
+                rows2d = jnp.concatenate(
+                    [rows2d, jnp.zeros((pad, rows2d.shape[-1]),
+                                       rows2d.dtype)])
+            out = decode(self.state.nf_params, coord, rows2d)
+            pieces.append(out[:chunk - pad] if pad else out)
+        return jnp.concatenate(pieces)

@@ -105,6 +105,13 @@ def main():
     # coexist; the global file describes only the most recent run)
     metrics_path = os.path.join(out_dir, "demo_metrics.json")
     if not os.path.exists(metrics_path):
+        if os.path.normpath(out_dir) != os.path.join(here, "demo_out"):
+            # the global fallback describes whatever run wrote it LAST —
+            # for an explicit --out dir that silently mixes configs
+            # (observed: a forced-flow run scored against decaying held-outs)
+            raise SystemExit(
+                f"{metrics_path} missing — this run dir's pipeline has not "
+                "completed (rerun demo_turbulence.py for this out dir)")
         metrics_path = os.path.join(here, "demo_metrics.json")
     with open(metrics_path) as f:
         c = json.load(f)["config"]
@@ -142,6 +149,9 @@ def main():
 
     import glob
     emas = sorted(glob.glob(os.path.join(out_dir, "dckpt", "ema_*.ckpt")))
+    if not emas:
+        raise SystemExit(f"no EMA checkpoint under {out_dir}/dckpt — "
+                         "stage 2 (diffusion training) has not completed")
     from examples.demo_common import build_demo_unet
     model = build_demo_unet(n_snap, latent)
     ema = load_unet_params(emas[-1], model)

@@ -78,6 +78,16 @@ def main():
     sample_steps = args.sample_steps or c.get("sample_steps", 500)
 
     flat = np.load(os.path.join(out_dir, "fois.npy"))
+    if flat.shape != (n_traj * n_snap, grid * grid, 2):
+        # the global demo_metrics.json fallback describes a DIFFERENT run
+        # (e.g. this out_dir's own pipeline died before writing its copy) —
+        # reshaping under the wrong (n_traj, n_snap) would silently score
+        # the wrong trajectories
+        raise SystemExit(
+            f"{out_dir}/fois.npy has shape {flat.shape} but {metrics_path} "
+            f"describes n_traj={n_traj} n_snap={n_snap} grid={grid} — the "
+            "metrics config does not belong to this run dir (rerun "
+            "demo_turbulence.py for this out dir first)")
     fields = flat.reshape(n_traj, n_snap, grid, grid, 2)
     from examples.demo_common import sliding_windows
     real_wins = (fields if window == n_snap else

@@ -256,7 +256,8 @@ def main():
         flat = fields.reshape(n_traj * n_snap, grid * grid, 2)
         np.save(foi_path, flat)
         with open(meta_path, "w") as f:
-            json.dump({"flow": args.flow, **flow_kw}, f)
+            json.dump({"flow": args.flow, "n_traj": n_traj,
+                       "n_snap": n_snap, "grid": grid, **flow_kw}, f)
     coords = np.stack(np.meshgrid(np.linspace(0, 1, grid),
                                   np.linspace(0, 1, grid),
                                   indexing="ij"), -1).reshape(-1, 2)
