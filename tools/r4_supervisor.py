@@ -44,7 +44,11 @@ STEPS = [
          "--window", "64", "--window-stride", "4",
          "--latent", "256", "--hidden", "256",
          "--cnf-epochs", "16000", "--latent-lr-end", "1e-4",
-         "--diff-steps", "30000", "--diff-batch", "64",
+         # 20k (not 30k): at ~1.5 steps/s the last 10k steps would eat the
+         # entire evidence window this round; 20k is ~990 epochs over the
+         # 1296 windowed images and the sigma-scaled data (not step count)
+         # is what the f2 bet changes.  Resumes from the 10k checkpoint.
+         "--diff-steps", "20000", "--diff-batch", "64",
          "--scale-sigmas", "2.5"],
         ["examples/demo_out_f2"],
     ),
