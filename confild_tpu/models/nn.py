@@ -307,16 +307,22 @@ def _gn_silu_bwd(g, eps, res, dy):
     a = _gn_expand(inv, c) * gam
     b2 = bet - _gn_expand(mean * inv, c) * gam
 
-    def dz_of(dtype):
-        """dy * silu'(x*A + B) in the given dtype; fused by XLA into each
-        consumer so the full-res dz is never materialized."""
-        z = (x.astype(dtype) * a.reshape(bshape).astype(dtype)
-             + b2.reshape(bshape).astype(dtype))
-        sig = jax.nn.sigmoid(z)
-        return dy.astype(dtype) * (sig * (1.0 + z * (1.0 - sig)))
+    # dz = dy * silu'(x*A + B), computed ONCE in the activation dtype and
+    # shared by the reductions and the dx pass.  Keeping every op that
+    # touches dy in dy's own dtype is load-bearing for bf16: if the f32
+    # convert directly consumes dy (as a per-consumer dz_of(f32) chain
+    # did), XLA folds the convert into the upstream conv data-grad and
+    # materializes every conv-bwd output as f32 — twice the HBM bytes on
+    # the largest tensors in the backward (r04 HLO: f32[384,1,392,128]
+    # buffers + f32 layout pads at every ds1/ds2 conv).  The f32 converts
+    # below read the bf16 dz/x buffers inside the reduce fusions instead.
+    z = (x * a.reshape(bshape).astype(x.dtype)
+         + b2.reshape(bshape).astype(x.dtype))
+    sig = jax.nn.sigmoid(z)
+    dz = dy.astype(x.dtype) * (sig * (1.0 + z * (1.0 - sig)))
 
-    # pass 1: per-channel f32 reductions (convert fuses into the reduce)
-    dzf = dz_of(jnp.float32)
+    # pass 1: per-channel f32 reductions (converts fuse into the reduce)
+    dzf = dz.astype(jnp.float32)
     r1 = jnp.sum(dzf, axis=red)                                  # (B, C)
     r2 = jnp.sum(dzf * x.astype(jnp.float32), axis=red)          # (B, C)
     cg = c // g
@@ -328,8 +334,7 @@ def _gn_silu_bwd(g, eps, res, dy):
     p = _gn_expand(inv, c) * gam
     q = _gn_expand(-inv * inv * m2, c)
     r = _gn_expand(inv * inv * mean * m2 - inv * m1, c)
-    # pass 2: dx in the activation dtype, dz recomputed
-    dz = dz_of(x.dtype)
+    # pass 2: dx in the activation dtype, reusing the shared dz
     dx = (dz * p.reshape(bshape).astype(x.dtype)
           + x * q.reshape(bshape).astype(x.dtype)
           + r.reshape(bshape).astype(x.dtype)).astype(x.dtype)
