@@ -345,6 +345,12 @@ def siren_film_from_recipe(hp) -> NFModel:
             "num_hidden_layers": nf_spec["num_hidden_layers"],
             "hidden_features": nf_spec["hidden_features"],
         }
+        # the reference's NF block carries the SIREN frequency as
+        # ``omega_0`` (nf_networks.py:18,40-41); default 30 when absent
+        for key in ("omega_0", "w0"):
+            if key in nf_spec:
+                kwargs["w0"] = float(nf_spec[key])
+                break
     kwargs.setdefault("in_coord_features", hp.dims)
     kwargs.setdefault("in_latent_features", hp.hidden_size)
     return create_nf(nf_spec["name"], **kwargs)

@@ -251,10 +251,28 @@ class CNFTrainer:
 
         decay_epochs = lr.get("decay_epochs", self.hp.epochs) \
             if isinstance(lr, dict) else self.hp.epochs
-        opt_nf = optax.adam(_sched(lr["nf"], lr.get("nf_end"), decay_epochs))
+        # nf schedule counts optimizer steps: one per epoch under the
+        # reference cadence, one per batch under ``nf_optim_cadence: batch``
+        nf_steps = decay_epochs * (n_batches if self._per_batch_nf else 1)
+        opt_nf = optax.adam(_sched(lr["nf"], lr.get("nf_end"), nf_steps))
         opt_lat = optax.adam(_sched(lr["latents"], lr.get("latents_end"),
                                     decay_epochs * n_batches))
         return opt_nf, opt_lat
+
+    @property
+    def _per_batch_nf(self) -> bool:
+        """Opt-in decoder cadence ``nf_optim_cadence: batch``.
+
+        The reference steps the decoder ONCE PER EPOCH with gradients
+        accumulated over every batch (scripts/train.py:399-401 &
+        414-417) — effectively full-batch Adam, very stable but slow: a
+        16k-epoch fit performs only 16k decoder updates.  ``batch`` steps
+        the decoder with every latent step (standard auto-decoder
+        practice), giving n_batches-times more decoder updates per epoch;
+        measured on the forced-turbulence demo it reaches the same train
+        rMAE in a fraction of the epochs.  Default remains reference
+        parity."""
+        return str(self.hp.get("nf_optim_cadence", "epoch")) == "batch"
 
     def init_state(self, key=None) -> CNFTrainState:
         key = key if key is not None else jax.random.key(0)
@@ -358,9 +376,13 @@ class CNFTrainer:
             out = self.model(nf_params, data["coords"], rows)
             return loss_fn(out, data["fois"][idx])
 
+        per_batch_nf = (not fix_nf) and self._per_batch_nf
+
         def _run_epoch(state: CNFTrainState, perm, data):
-            """One epoch = scan over batches.  Decoder step happens OUTSIDE
-            (cadence: once per epoch, reference :399-401)."""
+            """One epoch = scan over batches.  Under the reference cadence
+            the decoder step happens OUTSIDE (once per epoch, reference
+            :399-401); under ``nf_optim_cadence: batch`` the decoder steps
+            with every batch inside the scan."""
 
             def one_batch(carry, idx):
                 latents, opt_lat_state, nf_accum = carry
@@ -372,6 +394,30 @@ class CNFTrainer:
                 latents = optax.apply_updates(latents, updates)
                 nf_accum = jax.tree.map(jnp.add, nf_accum, g_nf)
                 return (latents, opt_lat_state, nf_accum), loss
+
+            def one_batch_joint(carry, idx):
+                latents, opt_lat_state, nf_params, opt_nf_state = carry
+                loss, (g_lat, g_nf) = jax.value_and_grad(
+                    lambda lat, nf: batch_loss(nf, lat, idx, data),
+                    argnums=(0, 1))(latents, nf_params)
+                up_l, opt_lat_state = opt_lat.update(g_lat, opt_lat_state,
+                                                     latents)
+                latents = optax.apply_updates(latents, up_l)
+                up_n, opt_nf_state = opt_nf.update(g_nf, opt_nf_state,
+                                                   nf_params)
+                nf_params = optax.apply_updates(nf_params, up_n)
+                return (latents, opt_lat_state, nf_params, opt_nf_state), loss
+
+            if per_batch_nf:
+                init = (state.latents, state.opt_lat_state,
+                        state.nf_params, state.opt_nf_state)
+                (latents, opt_lat_state, nf_params,
+                 opt_nf_state), losses = jax.lax.scan(one_batch_joint,
+                                                      init, perm)
+                return dataclasses.replace(
+                    state, latents=latents, opt_lat_state=opt_lat_state,
+                    nf_params=nf_params,
+                    opt_nf_state=opt_nf_state), losses.mean()
 
             init = (state.latents, state.opt_lat_state, state.nf_grad_accum)
             (latents, opt_lat_state, nf_accum), losses = jax.lax.scan(
@@ -396,7 +442,7 @@ class CNFTrainer:
 
             def epoch_body(state, inp):
                 perm, e = inp
-                if not fix_nf:
+                if not fix_nf and not per_batch_nf:
                     state = jax.lax.cond(e != 0, _apply_nf_step,
                                          lambda s: s, state)
                 return _run_epoch(state, perm, data)

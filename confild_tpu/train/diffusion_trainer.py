@@ -82,6 +82,7 @@ class TrainLoop:
         seed: int = 42,
         steps_per_call: int = 1,
         keep_checkpoints: int = 0,
+        device_data=None,
     ):
         self.model = model
         self.diffusion = diffusion
@@ -107,6 +108,18 @@ class TrainLoop:
         # run several optimizer steps per jitted call (scan over stacked
         # batches) to amortize dispatch; 1 preserves per-step host control
         self.steps_per_call = max(int(steps_per_call), 1)
+        # TPU-first data path: a device-RESIDENT training array (n, C, H, W)
+        # sampled by on-device random gather inside the jitted multi-step.
+        # The iterator path ships batch_size*steps_per_call host arrays per
+        # call — over a remote-device transport that transfer dominates the
+        # step (measured on the demo's 85 MB latent-image set: 2.0 -> 16+
+        # steps/s).  The iterator path stays the default (reference data
+        # semantics, image_datasets.py generators).
+        self.device_data = None
+        if device_data is not None:
+            if valid_data is not None:
+                raise ValueError("device_data does not support valid_data")
+            self.device_data = jnp.asarray(device_data)
 
         self.resume_step = 0
         self.state = self._load_or_init()
@@ -268,6 +281,19 @@ class TrainLoop:
                 return step_body(state, b, k)
             return jax.lax.scan(s, state, (batches, keys))
 
+        device_data = self.device_data
+        batch_size = self.batch_size
+
+        def multi_device_data(state, keys):
+            """Per-step batches gathered on-device from the resident
+            training array — no host->device batch traffic at all."""
+            def s(state, k):
+                k_idx, k_step = jax.random.split(k)
+                idx = jax.random.randint(k_idx, (batch_size,), 0,
+                                         device_data.shape[0])
+                return step_body(state, device_data[idx], k_step)
+            return jax.lax.scan(s, state, keys)
+
         valid_body = self._valid_body
 
         def multi_valid(state, batches, vbatches, keys):
@@ -283,6 +309,9 @@ class TrainLoop:
 
         self._multi_step = jax.jit(multi, donate_argnums=(0,))
         self._multi_step_valid = jax.jit(multi_valid, donate_argnums=(0,))
+        self._multi_step_device = (jax.jit(multi_device_data,
+                                           donate_argnums=(0,))
+                                   if device_data is not None else None)
         return train_step
 
     def _build_valid_step(self):
@@ -313,7 +342,7 @@ class TrainLoop:
         # the global count (initialized to resume_step), so compare directly.
         while (not self.lr_anneal_steps
                or int(self.state.step) < self.lr_anneal_steps):
-            if self.steps_per_call > 1:
+            if self.steps_per_call > 1 or self.device_data is not None:
                 self.run_steps(self.steps_per_call)
             else:
                 batch, _cond = next(self.data)
@@ -332,6 +361,12 @@ class TrainLoop:
         """k optimizer steps in ONE jitted scan call (amortizes host
         dispatch; per-step semantics identical to run_step)."""
         logger = tlog.get_current()
+        self.key, sub = jax.random.split(self.key)
+        keys = jax.random.split(sub, k)
+        if self.device_data is not None:
+            self.state, metrics = self._multi_step_device(self.state, keys)
+            self._log_multi(logger, metrics)
+            return
         batches = []
         for _ in range(k):
             b, _cond = next(self.data)
@@ -339,8 +374,6 @@ class TrainLoop:
         batches = jnp.asarray(np.stack(batches))
         if self.mesh is not None:
             batches = pmesh.shard_batch(batches, self.mesh, axis=1)
-        self.key, sub = jax.random.split(self.key)
-        keys = jax.random.split(sub, k)
         if self.valid_data is not None:
             vbatches = jnp.asarray(np.stack(
                 [next(self.valid_data)[0] for _ in range(k)]))
@@ -350,7 +383,9 @@ class TrainLoop:
                 self.state, batches, vbatches, keys)
         else:
             self.state, metrics = self._multi_step(self.state, batches, keys)
+        self._log_multi(logger, metrics)
 
+    def _log_multi(self, logger, metrics):
         step = int(self.state.step)
         logger.logkv("step", step)
         logger.logkv("samples", step * self.batch_size * jax.process_count())

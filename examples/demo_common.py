@@ -34,14 +34,66 @@ def sliding_windows(per_traj: "np.ndarray", window: int, stride: int):
                      for i in range(per_traj.shape[0]) for s in starts])
 
 
-def build_demo_unet(n_snap: int, latent: int):
+def build_demo_unet(n_snap: int, latent: int, num_channels: int = 64,
+                    channel_mult: str = "1,2,2", num_head_channels: int = 16):
     """ADM U-Net over (1, n_snap, latent) latent images, attention at
-    downsample factor 4 regardless of latent width."""
+    downsample factor 4 regardless of latent width.
+
+    ``num_channels``/``channel_mult`` size the prior (the reference's case
+    recipes use 128ch x "1,1,2,2,4,4" at image 384,
+    ``UnconditionalDiffusionTraining_and_Generation/training_recipes/
+    case4.yml``; the demo default is a lighter 64ch x 3 levels).  Deeper
+    mults keep attention at the DEEPEST level the mult reaches, capped at
+    the time-axis extent (a 64-row window survives at most ds16 before the
+    time axis degenerates)."""
     from confild_tpu.models import unet as junet
 
     img = max(n_snap, latent)
+    n_levels = len(str(channel_mult).split(","))
+    if n_levels <= 3:
+        # legacy demo architecture: attention at ds4 only (checkpoint
+        # compatibility for every pre-existing run dir)
+        attn = f"{img // 4}"
+    else:
+        # deeper priors: attention at the two deepest levels (the
+        # reference's multi-resolution attention pattern)
+        max_ds = min(2 ** (n_levels - 1), 16)
+        attn = f"{img // max_ds},{img // (max_ds // 2)}"
     return junet.create_model(
-        image_size=img, num_channels=64, num_res_blocks=2,
-        channel_mult="1,2,2",
-        attention_resolutions=f"{img // 4}",
-        num_heads=4, num_head_channels=16, use_bf16=True)
+        image_size=img, num_channels=num_channels, num_res_blocks=2,
+        channel_mult=channel_mult,
+        attention_resolutions=attn,
+        num_heads=4, num_head_channels=num_head_channels, use_bf16=True)
+
+
+def save_demo_unet_config(dckpt_dir: str, n_snap: int, latent: int,
+                          **overrides):
+    """Persist the demo UNet construction args next to the diffusion
+    checkpoints so every consumer (demo_report, demo_conditional,
+    respacing study) rebuilds the IDENTICAL architecture — a silent
+    structural mismatch corrupts loads (see module docstring)."""
+    import json
+    import os
+    cfg = {"n_snap": n_snap, "latent": latent, **overrides}
+    os.makedirs(dckpt_dir, exist_ok=True)
+    with open(os.path.join(dckpt_dir, "unet.json"), "w") as f:
+        json.dump(cfg, f)
+    return cfg
+
+
+def load_demo_unet(dckpt_dir: str, n_snap: int, latent: int):
+    """Rebuild the demo UNet from the run dir's persisted config;
+    legacy run dirs without ``unet.json`` get the historical default."""
+    import json
+    import os
+    path = os.path.join(dckpt_dir, "unet.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            cfg = json.load(f)
+        if cfg.get("n_snap", n_snap) != n_snap or \
+                cfg.get("latent", latent) != latent:
+            raise ValueError(f"unet.json {cfg} does not match the run's "
+                             f"latent-image shape ({n_snap}, {latent})")
+        kw = {k: v for k, v in cfg.items() if k not in ("n_snap", "latent")}
+        return build_demo_unet(n_snap, latent, **kw)
+    return build_demo_unet(n_snap, latent)

@@ -152,8 +152,8 @@ def main():
     if not emas:
         raise SystemExit(f"no EMA checkpoint under {out_dir}/dckpt — "
                          "stage 2 (diffusion training) has not completed")
-    from examples.demo_common import build_demo_unet
-    model = build_demo_unet(n_snap, latent)
+    from examples.demo_common import load_demo_unet
+    model = load_demo_unet(os.path.join(out_dir, "dckpt"), n_snap, latent)
     ema = load_unet_params(emas[-1], model)
 
     full_coords = np.stack(np.meshgrid(np.linspace(0, 1, grid),

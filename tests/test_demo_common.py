@@ -46,6 +46,38 @@ def test_latent64_plan_matches_legacy_config():
     assert chex_equal
 
 
+def test_deep_mult_gets_two_attention_levels():
+    """Deeper-than-legacy mults place attention at the two deepest levels
+    (the reference's multi-resolution pattern, its case4.yml uses
+    attention_resolutions '32,16,8' with a 6-level mult)."""
+    model = build_demo_unet(64, 256, num_channels=96,
+                            channel_mult="1,1,2,2,4")
+    assert {16, 8} <= set(model.cfg.attention_resolutions)
+    assert _attn_count(model) > 6
+
+
+def test_unet_config_round_trip(tmp_path):
+    """save_demo_unet_config + load_demo_unet rebuild the identical plan;
+    a shape mismatch is rejected instead of corrupting a load."""
+    from examples.demo_common import load_demo_unet, save_demo_unet_config
+
+    save_demo_unet_config(str(tmp_path), 64, 256, num_channels=96,
+                          channel_mult="1,1,2,2,4")
+    built = build_demo_unet(64, 256, num_channels=96,
+                            channel_mult="1,1,2,2,4")
+    loaded = load_demo_unet(str(tmp_path), 64, 256)
+    assert loaded.plan == built.plan
+    with pytest.raises(ValueError, match="unet.json"):
+        load_demo_unet(str(tmp_path), 64, 128)
+
+
+def test_legacy_run_dir_without_unet_json(tmp_path):
+    from examples.demo_common import load_demo_unet
+
+    assert load_demo_unet(str(tmp_path), 64, 64).plan == \
+        build_demo_unet(64, 64).plan
+
+
 @pytest.mark.slow
 def test_wide_latent_forward_runs():
     model = build_demo_unet(64, 128)

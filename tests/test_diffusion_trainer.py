@@ -48,6 +48,34 @@ class TestTrainLoop:
         assert os.path.exists(tmp_path / "ckpts" / "model000009.ckpt")
 
     @pytest.mark.slow
+    def test_device_data_path(self, tiny_setup, tmp_path):
+        """The device-resident dataset path (batches gathered on-device
+        inside the jitted scan — no host->device batch traffic) must train,
+        log, checkpoint and guard like the iterator path."""
+        model, diffusion, _, _, _ = tiny_setup
+        rng = np.random.default_rng(1)
+        dataset = rng.normal(size=(32, 1, 16, 16)).astype(np.float32)
+        tlog.configure(str(tmp_path / "logs_dev"), ["csv"])
+        loop = TrainLoop(
+            model=model, diffusion=diffusion, data=None,
+            device_data=dataset,
+            batch_size=8, lr=1e-4, log_interval=2, save_interval=6,
+            lr_anneal_steps=6, steps_per_call=3,
+            save_dir=str(tmp_path / "ckpts_dev"))
+        loop.run_loop()
+        assert int(loop.state.step) == 6
+        assert os.path.exists(tmp_path / "ckpts_dev" / "model000006.ckpt")
+        import csv
+        with open(tmp_path / "logs_dev" / "progress.csv") as f:
+            rows = list(csv.DictReader(f))
+        losses = [float(r["loss"]) for r in rows if r.get("loss")]
+        assert losses and all(np.isfinite(losses))
+        with pytest.raises(ValueError, match="valid_data"):
+            TrainLoop(model=model, diffusion=diffusion, data=None,
+                      device_data=dataset, valid_data=iter([]),
+                      batch_size=8, save_dir=str(tmp_path / "x"))
+
+    @pytest.mark.slow
     def test_resume(self, tiny_setup, tmp_path):
         model, diffusion, data, vdata, _ = tiny_setup
         tlog.configure(str(tmp_path / "logs"), [])

@@ -53,10 +53,11 @@ def main():
     grid = meta.get("grid", 64)
     window = 64  # f2 window size (diffusion image time-length)
 
+    flow = meta.get("flow", "forced")
     t0 = time.time()
-    print(f"[1/3] simulating {args.n_held} held-out forced windows ...")
+    print(f"[1/3] simulating {args.n_held} held-out {flow} windows ...")
     held = simulate_turbulence(grid, window, args.n_held, seed=args.seed,
-                               **FLOW_PRESETS["forced"])
+                               **FLOW_PRESETS[flow])
     held_flat = held.reshape(args.n_held, window, grid * grid, 2)
 
     print(f"[2/3] loading f2 stage-1 CNF ... ({time.time()-t0:.0f}s)")
