@@ -169,7 +169,8 @@ def main():
             attention_resolutions="32,16,8" if on_tpu else "16",
             num_heads=4, num_head_channels=64 if on_tpu else -1,
             use_bf16=bf16, use_checkpoint=use_checkpoint,
-            remat_policy="matmuls" if use_checkpoint else "full")
+            remat_policy=os.environ.get("CONFILD_REMAT", "matmuls")
+            if use_checkpoint else "full")
         return mdl, mdl.init(jax.random.key(0))
 
     # --- optimized path: bf16 torso, single-traced fwd+vjp, fused decode ---

@@ -17,6 +17,7 @@ from typing import Sequence
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.ad_checkpoint import checkpoint_name
 
 
 def timestep_embedding(timesteps: jnp.ndarray, dim: int,
@@ -147,7 +148,14 @@ def _gn_moments(x: jnp.ndarray, g: int, eps: float):
     var = jnp.maximum(
         s2.reshape(b, g, c // g).sum(-1, keepdims=True) / n - mean * mean,
         0.0)
-    return mean, jax.lax.rsqrt(var + eps)
+    # tagged so a remat policy can carry the tiny (B, g, 1) moments across
+    # the checkpoint boundary ("matmuls+stats", models/unet.py): without
+    # the tag the backward re-runs BOTH full-resolution reduction passes
+    # per GN site, and XLA sinks the f32 convert of this function into the
+    # producing conv's epilogue — materializing activation-size f32
+    # copies/pads at every ds1/ds2 conv (r04 bwd HLO)
+    return (checkpoint_name(mean, "gn_stats"),
+            checkpoint_name(jax.lax.rsqrt(var + eps), "gn_stats"))
 
 
 def _gn_expand(v: jnp.ndarray, c: int) -> jnp.ndarray:

@@ -104,7 +104,20 @@ def _save_matmuls(prim, *_, **__) -> bool:
     return prim.name in ("conv_general_dilated", "dot_general")
 
 
-_REMAT_POLICIES = {"full": None, "matmuls": _save_matmuls}
+def _save_matmuls_and_stats():
+    """"matmuls" plus the GN moment arrays tagged ``gn_stats`` in
+    ``models/nn.py::_gn_moments``.  The moments are (B, groups, 1) — a few
+    hundred bytes — but carrying them across the remat boundary removes
+    two full-resolution reduction passes per GN site from the backward
+    AND the f32 conv-epilogue sink those recomputed reductions induce
+    (activation-size f32 copies/pads at ds1/ds2 in the r04 bwd HLO)."""
+    return jax.checkpoint_policies.save_from_both_policies(
+        _save_matmuls,
+        jax.checkpoint_policies.save_only_these_names("gn_stats"))
+
+
+_REMAT_POLICIES = {"full": None, "matmuls": _save_matmuls,
+                   "matmuls+stats": _save_matmuls_and_stats()}
 
 
 @dataclasses.dataclass(frozen=True)

@@ -217,7 +217,64 @@ class TestGroupNorm:
                                    np.asarray(ref), atol=0.05)
 
 
-@pytest.mark.parametrize("policy", ["full", "matmuls"])
+def test_gn_stats_remat_policy_saves_moments():
+    """"matmuls+stats" must (a) leave gradients bit-identical to
+    "matmuls" and (b) remove the per-GN moment recompute from the
+    backward: two activation-size reduction passes per GN site (the
+    recomputed reductions also induced f32 conv-epilogue sinks, r04 HLO —
+    see models/unet.py::_save_matmuls_and_stats)."""
+    from confild_tpu.models import unet as junet
+
+    def build(policy):
+        return junet.create_model(
+            image_size=32, num_channels=32, num_res_blocks=1,
+            channel_mult="1,2", attention_resolutions="16", num_heads=2,
+            use_bf16=True, use_checkpoint=True, remat_policy=policy)
+
+    m1, m2 = build("matmuls"), build("matmuls+stats")
+    params = m1.init(jax.random.key(0))
+    x = jax.random.normal(jax.random.key(1), (2, 1, 32, 32))
+    t = jnp.array([3, 7])
+
+    def grads(model):
+        def f(p):
+            return jnp.sum(jnp.square(
+                model.apply(p, x, t).astype(jnp.float32)))
+        return jax.grad(f)(params)
+
+    for a, b in zip(jax.tree.leaves(grads(m1)), jax.tree.leaves(grads(m2))):
+        np.testing.assert_array_equal(np.asarray(a, np.float32),
+                                      np.asarray(b, np.float32))
+
+    def count_act_reduces(model):
+        def f(p):
+            return jnp.sum(jnp.square(
+                model.apply(p, x, t).astype(jnp.float32)))
+        jaxpr = jax.make_jaxpr(jax.grad(f))(params)
+        n = 0
+
+        def walk(j):
+            nonlocal n
+            for eq in j.eqns:
+                if (eq.primitive.name == "reduce_sum" and eq.invars
+                        and eq.invars[0].aval.shape
+                        and int(np.prod(eq.invars[0].aval.shape)) >= 2048):
+                    n += 1
+                for v in eq.params.values():
+                    vs = v if isinstance(v, (list, tuple)) else [v]
+                    for vv in vs:
+                        if hasattr(vv, "jaxpr"):
+                            walk(vv.jaxpr)
+                        elif hasattr(vv, "eqns"):
+                            walk(vv)
+        walk(jaxpr.jaxpr)
+        return n
+
+    n1, n2 = count_act_reduces(m1), count_act_reduces(m2)
+    assert n2 < n1, (n1, n2)
+
+
+@pytest.mark.parametrize("policy", ["full", "matmuls", "matmuls+stats"])
 @pytest.mark.slow
 def test_remat_policy_grads_match_no_remat(policy):
     """Block remat (either policy) must be a pure memory/time trade: loss

@@ -186,6 +186,8 @@ PROBES = {
     "updown": probe_updown,
     "unet": lambda: probe_unet(False, "full", "unet"),
     "unet_remat": lambda: probe_unet(True, "matmuls", "unet_remat"),
+    "unet_remat_stats": lambda: probe_unet(True, "matmuls+stats",
+                                           "unet_remat_stats"),
 }
 
 
