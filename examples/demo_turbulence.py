@@ -314,8 +314,12 @@ def main():
         "hidden_size": latent, "epochs": cnf_epochs, "loss_fn": "MSELoss",
         # cadence from the TOTAL epochs this invocation runs (latent-only +
         # joint), so a latent-only run (--cnf-epochs 0) does not degenerate
-        # to save_every=1 (an eval + checkpoint per epoch)
-        "test_criteria": "rMAE", "save_every": max(total_epochs // 8, 1),
+        # to save_every=1 (an eval + checkpoint per epoch).  Capped at 250:
+        # each save interval is one uninterrupted device-side epoch scan,
+        # and the axon tunnel occasionally wedges mid-scan — the cap bounds
+        # a retry's lost work at ~7 min instead of a 17-min chunk
+        "test_criteria": "rMAE",
+        "save_every": max(min(total_epochs // 8, 250), 1),
         "dims": 2,
         "NF": {"name": "SIRENAutodecoder_film",
                "num_hidden_layers": args.nf_layers,

@@ -19,6 +19,15 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite is compile-bound on this class
+# of box (1 host core; 253 tests, most jit something). First run pays the
+# XLA CPU compiles; re-runs load them from disk (fast-gate re-runs are the
+# common case while iterating).
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("CONFILD_TEST_CACHE",
+                                 "/tmp/confild_test_compile_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
