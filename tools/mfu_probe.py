@@ -160,23 +160,32 @@ def _unet(use_checkpoint=False, remat_policy="full"):
     return model, params
 
 
-def probe_unet(use_checkpoint=False, remat_policy="full", tag="unet"):
+def probe_unet(use_checkpoint=False, remat_policy="full", tag="unet",
+               batch=1):
+    """Per-SAMPLE fwd and fwd+input-grad times at the bench shapes.
+
+    ``batch`` > 1 tests the batch-in-sublanes hypothesis: at B=1 the conv
+    emitter puts a spatial dim in the sublanes and the bwd HLO is ~half
+    layout copies/pads (retiling 49<->50-tile buffers around every conv
+    data-grad at ds1/ds2); with B >= 8 the batch fills the sublanes and
+    the spatial retiling churn should vanish."""
     model, params = _unet(use_checkpoint, remat_policy)
-    img = jnp.zeros((1, 1, SIZE, SIZE))
-    t = jnp.full((1,), 10, jnp.int32)
+    img = jnp.zeros((batch, 1, SIZE, SIZE))
+    t = jnp.full((batch,), 10, jnp.int32)
 
     def fwd_body(x):
         return model.apply(params, x, t)[:, :1] * 1e-3 + x
-    t_f = bench_scan(fwd_body, img)
+    t_f = bench_scan(fwd_body, img) / batch
 
     def grad_body(x):
         def f(xx):
             return jnp.sum(model.apply(params, xx, t)[:, :1]
                            .astype(jnp.float32))
         return jax.grad(f)(x) * 1e-3 + x
-    t_g = bench_scan(grad_body, img)
+    t_g = bench_scan(grad_body, img) / batch
     print(f"{tag:12s}: fwd {t_f*1e3:7.2f} ms   fwd+bwd {t_g*1e3:7.2f} ms "
-          f"(bwd ~= {(t_g-t_f)*1e3:7.2f} ms, bwd/fwd {(t_g-t_f)/t_f:.2f})")
+          f"(bwd ~= {(t_g-t_f)*1e3:7.2f} ms, bwd/fwd {(t_g-t_f)/t_f:.2f})"
+          + (f"  [per sample, batch {batch}]" if batch > 1 else ""))
 
 
 PROBES = {
@@ -188,6 +197,12 @@ PROBES = {
     "unet_remat": lambda: probe_unet(True, "matmuls", "unet_remat"),
     "unet_remat_stats": lambda: probe_unet(True, "matmuls+stats",
                                            "unet_remat_stats"),
+    "unet_b4": lambda: probe_unet(False, "full", "unet_b4", batch=4),
+    "unet_b8": lambda: probe_unet(False, "full", "unet_b8", batch=8),
+    "unet_b8_remat": lambda: probe_unet(True, "matmuls", "unet_b8_remat",
+                                        batch=8),
+    "unet_b10_remat": lambda: probe_unet(True, "matmuls", "unet_b10_remat",
+                                         batch=10),
 }
 
 
