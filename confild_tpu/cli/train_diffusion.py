@@ -42,6 +42,7 @@ def build_model_and_diffusion(hp):
         use_checkpoint=hp.get("use_checkpoint", False),
         remat_policy=hp.get("remat_policy", "full"),
         use_flash_attention=hp.get("use_flash_attention"),
+        use_f32_tail=hp.get("use_f32_tail", False),
     )
     diffusion = create_gaussian_diffusion(
         steps=hp.steps,

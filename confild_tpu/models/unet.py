@@ -141,7 +141,8 @@ class UNetConfig:
     use_new_attention_order: bool = False
     torso_dtype: Any = jnp.float32     # set jnp.bfloat16 for a bf16 torso
     use_checkpoint: bool = False       # remat each top-level block
-    remat_policy: str = "full"         # "full" | "matmuls" (see _REMAT_POLICIES)
+    remat_policy: str = "full"   # "full" | "matmuls" | "matmuls+stats"
+    # (see _REMAT_POLICIES)
     use_flash_attention: bool = False  # Pallas blockwise attention (O(N) mem)
     flash_auto: bool = False           # gate flash per block by token count
     tail_dtype: Any = None             # dtype of the final norm+SiLU+conv;
@@ -610,6 +611,7 @@ def create_model(
     use_fp16: bool = False,   # accepted for recipe compat; means bf16 on TPU
     use_new_attention_order: bool = False,
     use_flash_attention: bool | None = None,
+    use_f32_tail: bool = False,
     sequence_parallel_mesh=None,
 ) -> UNetModel:
     if channel_mult is None:
@@ -660,5 +662,9 @@ def create_model(
         remat_policy=remat_policy,
         use_flash_attention=bool(use_flash_attention),
         flash_auto=flash_auto,
+        # reference-exact numerics knob (unet.py:734-735 computes the final
+        # eps head in f32 even under convert_to_fp16); recipes set
+        # use_f32_tail: true to restore it on a bf16 torso
+        tail_dtype=jnp.float32 if use_f32_tail else None,
     )
     return UNetModel(cfg, seq_mesh=sequence_parallel_mesh)

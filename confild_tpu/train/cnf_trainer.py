@@ -714,12 +714,22 @@ class CNFTrainer:
         # wrong for 3-D grid coords)
         n_ones = max(coord.ndim - 1, 1)
 
-        @jax.jit
-        def decode(params, coord_n, rows2d):
-            rows = rows2d.reshape(rows2d.shape[0], *(1,) * n_ones,
-                                  rows2d.shape[-1])
-            out = self.model(params, coord_n, rows)
-            return self.out_normalizer.as_jax().denormalize(out)
+        # one compiled executable per (broadcast rank) — cached on the
+        # trainer so repeated infer() calls (e.g. one per generated sample
+        # in the demo pipelines) reuse it instead of re-tracing a fresh
+        # closure every call; shape/dtype changes re-specialize within the
+        # same jitted function as usual
+        cache = getattr(self, "_decode_cache", None)
+        if cache is None:
+            cache = self._decode_cache = {}
+        decode = cache.get(n_ones)
+        if decode is None:
+            def _decode(params, coord_n, rows2d, _n_ones=n_ones):
+                rows = rows2d.reshape(rows2d.shape[0], *(1,) * _n_ones,
+                                      rows2d.shape[-1])
+                out = self.model(params, coord_n, rows)
+                return self.out_normalizer.as_jax().denormalize(out)
+            decode = cache[n_ones] = jax.jit(_decode)
 
         if n_rows <= chunk:
             return decode(self.state.nf_params, coord, latents)

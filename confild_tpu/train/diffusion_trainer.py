@@ -283,15 +283,24 @@ class TrainLoop:
 
         device_data = self.device_data
         batch_size = self.batch_size
+        mesh = self.mesh
 
         def multi_device_data(state, keys):
             """Per-step batches gathered on-device from the resident
-            training array — no host->device batch traffic at all."""
+            training array — no host->device batch traffic at all.  Under a
+            mesh the gathered batch is constrained to the data-parallel
+            batch spec (the dataset itself stays replicated — it is small —
+            but compute runs sharded, matching the iterator path)."""
             def s(state, k):
                 k_idx, k_step = jax.random.split(k)
                 idx = jax.random.randint(k_idx, (batch_size,), 0,
                                          device_data.shape[0])
-                return step_body(state, device_data[idx], k_step)
+                batch = device_data[idx]
+                if mesh is not None:
+                    batch = jax.lax.with_sharding_constraint(
+                        batch, jax.sharding.NamedSharding(
+                            mesh, pmesh.batch_spec(mesh)))
+                return step_body(state, batch, k_step)
             return jax.lax.scan(s, state, keys)
 
         valid_body = self._valid_body

@@ -71,12 +71,33 @@ def save_demo_unet_config(dckpt_dir: str, n_snap: int, latent: int,
     """Persist the demo UNet construction args next to the diffusion
     checkpoints so every consumer (demo_report, demo_conditional,
     respacing study) rebuilds the IDENTICAL architecture — a silent
-    structural mismatch corrupts loads (see module docstring)."""
+    structural mismatch corrupts loads (see module docstring).
+
+    On a run dir that already carries a config (a resume), the CLI-derived
+    config must MATCH the persisted one: overwriting would re-stamp
+    unet.json for checkpoints trained under a different architecture and
+    hand every downstream consumer the wrong model."""
+    import glob
     import json
     import os
     cfg = {"n_snap": n_snap, "latent": latent, **overrides}
     os.makedirs(dckpt_dir, exist_ok=True)
-    with open(os.path.join(dckpt_dir, "unet.json"), "w") as f:
+    path = os.path.join(dckpt_dir, "unet.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            prev = json.load(f)
+        if prev != cfg:
+            raise ValueError(
+                f"resume mismatch: {path} holds {prev} but this run was "
+                f"configured for {cfg} — rerun with matching "
+                "--unet-channels/--unet-mult or use a fresh run dir")
+        return cfg
+    if glob.glob(os.path.join(dckpt_dir, "model*.ckpt")):
+        raise ValueError(
+            f"{dckpt_dir} holds model checkpoints but no unet.json — "
+            "a pre-config legacy run dir cannot be safely re-stamped; "
+            "use a fresh run dir")
+    with open(path, "w") as f:
         json.dump(cfg, f)
     return cfg
 

@@ -9,4 +9,6 @@ python -m pytest tests/ -m "not slow" -q "$@"
 rc_tests=$?
 python tools/evidence_gates.py
 rc_gates=$?
-exit $(( rc_tests || rc_gates ))
+python tools/readme_sync.py --check
+rc_readme=$?
+exit $(( rc_tests || rc_gates || rc_readme ))
