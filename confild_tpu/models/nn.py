@@ -90,6 +90,72 @@ _CONV_DIMNUMS = {
 }
 
 
+# Opt-in backward rewrite for 2-d stride-1 SAME convs: express the data- and
+# weight-grads as k*k shifted matmuls instead of XLA's transposed-conv
+# emission.  Motivation (r04 bwd HLO, tools/bwd_hlo.py): at batch 1 the TPU
+# conv emitter places a spatial dim in the sublanes and the backward becomes
+# ~half layout copies/pads (retiling 49<->50-tile buffers around every conv
+# data-grad at ds1/ds2).  A pad+slice+dot decomposition gives XLA plain
+# lane-major [N*H*W, C] x [C, C'] dots with no spatial retiling.  Forward is
+# untouched (the fwd conv emitter is fine); grads are bit-comparable to
+# autodiff up to f32-accumulator reassociation.  Enable per-process via
+# set_conv_bwd_mode("mm") or CONFILD_CONV_BWD=mm.
+_CONV_BWD_MODE = os.environ.get("CONFILD_CONV_BWD", "xla")
+
+
+def set_conv_bwd_mode(mode: str) -> None:
+    """``"xla"`` (default autodiff) or ``"mm"`` (shifted-matmul backward)."""
+    global _CONV_BWD_MODE
+    if mode not in ("xla", "mm"):
+        raise ValueError(f"conv bwd mode {mode!r} not in ('xla', 'mm')")
+    _CONV_BWD_MODE = mode
+
+
+def _conv2d_same(x, kernel):
+    return jax.lax.conv_general_dilated(
+        x, kernel, window_strides=(1, 1), padding="SAME",
+        dimension_numbers=_CONV_DIMNUMS[2])
+
+
+@jax.custom_vjp
+def _conv2d_same_mm(x, kernel):
+    """2-d stride-1 SAME conv (odd kernel) with a matmul-form backward."""
+    return _conv2d_same(x, kernel)
+
+
+def _conv2d_same_mm_fwd(x, kernel):
+    return _conv2d_same(x, kernel), (x, kernel)
+
+
+def _conv2d_same_mm_bwd(res, dy):
+    x, kernel = res
+    kh, kw, cin, cout = kernel.shape
+    ch, cw = kh // 2, kw // 2
+    n, h, w, _ = x.shape
+    pad = [(0, 0), (ch, ch), (cw, cw), (0, 0)]
+    # dx[p,q] = sum_{a,b} dy[p-a+ch, q-b+cw] @ W[a,b]^T  (zero-padded dy)
+    dyp = jnp.pad(dy, pad)
+    dy2 = dy.reshape(n * h * w, cout)
+    xp = jnp.pad(x, pad)
+    dx = jnp.zeros((n * h * w, cin), dy.dtype)
+    dk = jnp.zeros((kh, kw, cin, cout), jnp.float32)
+    for a in range(kh):
+        for b in range(kw):
+            sl = dyp[:, 2 * ch - a:2 * ch - a + h,
+                     2 * cw - b:2 * cw - b + w, :].reshape(n * h * w, cout)
+            dx = dx + jax.lax.dot(
+                sl, kernel[a, b].T.astype(dy.dtype),
+                preferred_element_type=dx.dtype)
+            # dW[a,b] = x[p+a-ch, q+b-cw]^T @ dy[p,q]
+            xs = xp[:, a:a + h, b:b + w, :].reshape(n * h * w, cin)
+            dk = dk.at[a, b].set(jax.lax.dot(
+                xs.T, dy2, preferred_element_type=jnp.float32))
+    return dx.reshape(x.shape), dk.astype(kernel.dtype)
+
+
+_conv2d_same_mm.defvjp(_conv2d_same_mm_fwd, _conv2d_same_mm_bwd)
+
+
 def conv(params: dict, x: jnp.ndarray, *, stride: int | Sequence[int] = 1,
          padding: str | int = "SAME") -> jnp.ndarray:
     """Channels-last n-d convolution (n inferred from the kernel rank)."""
@@ -99,10 +165,15 @@ def conv(params: dict, x: jnp.ndarray, *, stride: int | Sequence[int] = 1,
         stride = (stride,) * dims
     if isinstance(padding, int):
         padding = [(padding, padding)] * dims
-    out = jax.lax.conv_general_dilated(
-        x, kernel, window_strides=tuple(stride), padding=padding,
-        dimension_numbers=_CONV_DIMNUMS[dims],
-    )
+    if (_CONV_BWD_MODE == "mm" and dims == 2 and tuple(stride) == (1, 1)
+            and padding == "SAME" and kernel.shape[0] % 2
+            and kernel.shape[1] % 2):
+        out = _conv2d_same_mm(x, kernel)
+    else:
+        out = jax.lax.conv_general_dilated(
+            x, kernel, window_strides=tuple(stride), padding=padding,
+            dimension_numbers=_CONV_DIMNUMS[dims],
+        )
     return out + params["bias"].astype(x.dtype)
 
 

@@ -462,3 +462,75 @@ class TestTailDtype:
         # bf16 epsilon territory relative to the output scale
         err = np.abs(a - b).max() / max(np.abs(b).max(), 1e-6)
         assert err < 0.02, f"bf16-tail relative error {err:.4f}"
+
+
+class TestConvBwdMM:
+    """The shifted-matmul conv backward (nn.set_conv_bwd_mode('mm')) must be
+    numerically identical to XLA autodiff up to f32 reassociation."""
+
+    @pytest.mark.parametrize("k,cin,cout", [(3, 8, 16), (5, 4, 4), (1, 8, 8)])
+    def test_grads_match_autodiff(self, k, cin, cout):
+        from confild_tpu.models import nn as tnn
+        key = jax.random.key(0)
+        kx, kk, kd = jax.random.split(key, 3)
+        x = jax.random.normal(kx, (2, 12, 10, cin), jnp.float32)
+        params = {"kernel": jax.random.normal(kk, (k, k, cin, cout)) * 0.1,
+                  "bias": jnp.zeros((cout,))}
+        dy_seed = jax.random.normal(kd, (2, 12, 10, cout))
+
+        def loss(p, x):
+            return jnp.sum(tnn.conv(p, x) * dy_seed)
+
+        tnn.set_conv_bwd_mode("xla")
+        try:
+            ref = jax.grad(loss, argnums=(0, 1))(params, x)
+            tnn.set_conv_bwd_mode("mm")
+            got = jax.grad(loss, argnums=(0, 1))(params, x)
+        finally:
+            tnn.set_conv_bwd_mode("xla")
+        np.testing.assert_allclose(got[1], ref[1], rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(got[0]["kernel"], ref[0]["kernel"],
+                                   rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(got[0]["bias"], ref[0]["bias"],
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_strided_and_3d_fall_back(self):
+        """Non stride-1/2-d cases must keep working (and stay differentiable)
+        under mm mode via the XLA fallback path."""
+        from confild_tpu.models import nn as tnn
+        key = jax.random.key(1)
+        tnn.set_conv_bwd_mode("mm")
+        try:
+            x = jax.random.normal(key, (1, 8, 8, 4))
+            p = {"kernel": jax.random.normal(key, (3, 3, 4, 8)) * 0.1,
+                 "bias": jnp.zeros((8,))}
+            g = jax.grad(lambda xx: jnp.sum(
+                tnn.conv(p, xx, stride=2)))(x)
+            assert g.shape == x.shape
+            x3 = jax.random.normal(key, (1, 4, 4, 4, 2))
+            p3 = {"kernel": jax.random.normal(key, (3, 3, 3, 2, 2)) * 0.1,
+                  "bias": jnp.zeros((2,))}
+            g3 = jax.grad(lambda xx: jnp.sum(tnn.conv(p3, xx)))(x3)
+            assert g3.shape == x3.shape
+        finally:
+            tnn.set_conv_bwd_mode("xla")
+
+    def test_unet_grads_match(self):
+        """Full small-UNet input-grad parity between the two backward modes."""
+        from confild_tpu.models import nn as tnn
+        m = small_model()
+        params = m.init(jax.random.key(0))
+        x = jax.random.normal(jax.random.key(2), (1, 1, 32, 32))
+        t = jnp.array([3], jnp.int32)
+
+        def loss(xx):
+            return jnp.sum(m.apply(params, xx, t) ** 2)
+
+        tnn.set_conv_bwd_mode("xla")
+        try:
+            ref = jax.grad(loss)(x)
+            tnn.set_conv_bwd_mode("mm")
+            got = jax.grad(loss)(x)
+        finally:
+            tnn.set_conv_bwd_mode("xla")
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)

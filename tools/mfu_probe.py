@@ -161,7 +161,7 @@ def _unet(use_checkpoint=False, remat_policy="full"):
 
 
 def probe_unet(use_checkpoint=False, remat_policy="full", tag="unet",
-               batch=1):
+               batch=1, conv_bwd="xla"):
     """Per-SAMPLE fwd and fwd+input-grad times at the bench shapes.
 
     ``batch`` > 1 tests the batch-in-sublanes hypothesis: at B=1 the conv
@@ -169,6 +169,8 @@ def probe_unet(use_checkpoint=False, remat_policy="full", tag="unet",
     layout copies/pads (retiling 49<->50-tile buffers around every conv
     data-grad at ds1/ds2); with B >= 8 the batch fills the sublanes and
     the spatial retiling churn should vanish."""
+    from confild_tpu.models import nn as tnn
+    tnn.set_conv_bwd_mode(conv_bwd)  # shifted-matmul conv backward A/B
     model, params = _unet(use_checkpoint, remat_policy)
     img = jnp.zeros((batch, 1, SIZE, SIZE))
     t = jnp.full((batch,), 10, jnp.int32)
@@ -183,6 +185,7 @@ def probe_unet(use_checkpoint=False, remat_policy="full", tag="unet",
                            .astype(jnp.float32))
         return jax.grad(f)(x) * 1e-3 + x
     t_g = bench_scan(grad_body, img) / batch
+    tnn.set_conv_bwd_mode("xla")
     print(f"{tag:12s}: fwd {t_f*1e3:7.2f} ms   fwd+bwd {t_g*1e3:7.2f} ms "
           f"(bwd ~= {(t_g-t_f)*1e3:7.2f} ms, bwd/fwd {(t_g-t_f)/t_f:.2f})"
           + (f"  [per sample, batch {batch}]" if batch > 1 else ""))
@@ -203,6 +206,9 @@ PROBES = {
                                         batch=8),
     "unet_b10_remat": lambda: probe_unet(True, "matmuls", "unet_b10_remat",
                                          batch=10),
+    "unet_mm": lambda: probe_unet(False, "full", "unet_mm", conv_bwd="mm"),
+    "unet_b10_mm": lambda: probe_unet(True, "matmuls", "unet_b10_mm",
+                                      batch=10, conv_bwd="mm"),
 }
 
 
