@@ -103,18 +103,26 @@ def main():
         "epochs": args.epochs, "n_sensors": args.n_sensors,
         "seed": args.seed, "held_snaps": n_held,
         "train_cfg_source": os.path.join(args.out, "cnf.yml")}, "arms": {}}
+    if os.path.exists(args.json_out):  # wedge-retry resume: keep done arms
+        with open(args.json_out) as f:
+            prev = json.load(f)
+        if prev.get("protocol") == results["protocol"]:
+            results["arms"] = prev.get("arms", {})
     want = args.arms.split(",")
 
     for name, knobs in ARMS:
         if name not in want:
             continue
+        if name in results["arms"]:
+            continue  # already measured (wedge-retry resume)
         ta = time.time()
         work = os.path.join(args.work, name)
         os.makedirs(work, exist_ok=True)
         cfg_d = copy.deepcopy(base_cfg)
         cfg_d.update(knobs)
         cfg_d["epochs"] = args.epochs
-        cfg_d["save_every"] = args.epochs  # single final checkpoint
+        # checkpoint often enough that a tunnel-wedge retry resumes cheaply
+        cfg_d["save_every"] = min(args.epochs, 250)
         cfg_d["save_path"] = os.path.join(work, "run")
         lr = cfg_d.get("lr", {})
         if "decay_epochs" in lr:
