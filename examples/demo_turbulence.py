@@ -198,6 +198,14 @@ def main():
                          "latent-jitter noise floor)")
     ap.add_argument("--nf-lr", type=float, default=1e-4)
     ap.add_argument("--nf-lr-end", type=float, default=None)
+    ap.add_argument("--latent-noise-std", type=float, default=0.0,
+                    help="denoising auto-decoder: decode at z + sigma*eps "
+                         "during stage-1 training so the latent space is "
+                         "accurate in a NEIGHBORHOOD of each code (the f3 "
+                         "conditional postmortem localized the failure to "
+                         "a non-smooth latent space)")
+    ap.add_argument("--latent-l2", type=float, default=0.0,
+                    help="DeepSDF-style code-norm prior weight in stage 1")
     ap.add_argument("--nf-cadence", choices=["epoch", "batch"],
                     default="epoch",
                     help="decoder optimizer cadence: 'epoch' = reference "
@@ -327,6 +335,9 @@ def main():
                **({"omega_0": args.nf_w0} if args.nf_w0 else {})},
         "lr": lr_block,
         "nf_optim_cadence": args.nf_cadence,
+        **({"latent_noise_std": args.latent_noise_std}
+           if args.latent_noise_std else {}),
+        **({"latent_l2": args.latent_l2} if args.latent_l2 else {}),
     }
     cnf_yml = os.path.join(out_dir, "cnf.yml")
     with open(cnf_yml, "w") as f:
