@@ -37,6 +37,9 @@ STEPS = [
         8,
         [sys.executable, "-u", "tools/decoder_reg_probe.py",
          "--out", OUT, "--epochs", "1250",
+         # 3 decisive arms first (~35 min each at the measured 40 ep/min);
+         # n15/l2 are spare-TPU-time follow-ups
+         "--arms", "base,n05,n05_l2",
          "--json-out", "examples/decoder_reg_probe.json"],
         ["/tmp/regprobe", "examples/decoder_reg_probe.json"],
     ),
