@@ -29,21 +29,92 @@ from r4_supervisor import log, run_step
 sup.LOG = LOG = "/tmp/r5_queue.log"
 
 OUT = "examples/demo_out_f3"
+F4 = "examples/demo_out_f4"
 
-STEPS = [
-    (
-        "decoder latent-regularization probe (5 arms, held-out oracle rMAE)",
-        21600,
-        8,
-        [sys.executable, "-u", "tools/decoder_reg_probe.py",
-         "--out", OUT, "--epochs", "1250",
-         # 3 decisive arms first (~35 min each at the measured 40 ep/min);
-         # n15/l2 are spare-TPU-time follow-ups
-         "--arms", "base,n05,n05_l2",
-         "--json-out", "examples/decoder_reg_probe.json"],
-        ["/tmp/regprobe", "examples/decoder_reg_probe.json"],
-    ),
-]
+# filled in from examples/decoder_reg_probe.json once step 1 lands; the f4
+# stage-1 fine-tunes the winner's 1250-epoch run to 2500 total epochs
+# (demo_turbulence resumes from the staged checkpoint)
+WINNER = os.environ.get("R5_WINNER", "")
+WINNER_KNOBS = {
+    "n05": ["--latent-noise-std", "0.05"],
+    "n15": ["--latent-noise-std", "0.15"],
+    "n05_l2": ["--latent-noise-std", "0.05", "--latent-l2", "3e-3"],
+    "l2": ["--latent-l2", "3e-3"],
+    "base": [],
+}
+
+PROBE_STEP = (
+    "decoder latent-regularization probe (3 arms, held-out oracle rMAE)",
+    21600,
+    8,
+    [sys.executable, "-u", "tools/decoder_reg_probe.py",
+     "--out", OUT, "--epochs", "1250",
+     # 3 decisive arms first (~35 min each at the measured 40 ep/min);
+     # n15/l2 are spare-TPU-time follow-ups
+     "--arms", "base,n05,n05_l2",
+     "--json-out", "examples/decoder_reg_probe.json"],
+    ["/tmp/regprobe", "examples/decoder_reg_probe.json"],
+)
+
+
+def f4_steps(winner):
+    cnf_args = [
+        "--flow", "forced_soft", "--out", F4,
+        "--n-traj", "16", "--n-snap", "384",
+        "--window", "64", "--window-stride", "4",
+        "--latent", "256", "--hidden", "384", "--nf-layers", "6",
+        "--nf-cadence", "batch",
+        "--cnf-epochs", "2500", "--latent-lr-end", "1e-4",
+        "--nf-lr-end", "3e-5",
+        "--cnf-run-dir", "cnf_run",
+        "--diff-steps", "30000", "--diff-batch", "64",
+        "--scale-sigmas", "2.5",
+        "--unet-channels", "96", "--unet-mult", "1,1,2,2,4",
+    ] + WINNER_KNOBS[winner]
+    return [
+        (
+            f"f4 staging (probe winner {winner!r})",
+            600, 2,
+            [sys.executable, "-u", "tools/f4_prep.py", "--winner", winner],
+            [F4],
+        ),
+        (
+            "f4 pipeline (regularized decoder fine-tune + 96ch prior)",
+            21600, 6,
+            [sys.executable, "-u", "examples/demo_turbulence.py"] + cnf_args,
+            [F4],
+        ),
+        (
+            "f4 prior round-trip acceptance probe",
+            3600, 3,
+            [sys.executable, "-u", "tools/prior_roundtrip.py", "--out", F4],
+            [F4],
+        ),
+        (
+            "f4 conditional DPS experiment (128 sensors, 3.1% coverage)",
+            10800, 3,
+            [sys.executable, "-u", "examples/demo_conditional.py",
+             "--out", F4, "--n-sensors", "128",
+             "--sensor-sweep", "10,100,200"],
+            [F4, "examples/demo_conditional.json"],
+        ),
+        (
+            "f4 quality report (n_gen 256, 1000 steps)",
+            10800, 3,
+            [sys.executable, "-u", "examples/demo_report.py", "--out", F4],
+            [F4, "examples/demo_report.json"],
+        ),
+        (
+            "f4 respacing study (n_gen 128)",
+            10800, 3,
+            [sys.executable, "-u", "tools/respacing_study.py",
+             "--out", F4, "--n-gen", "128"],
+            [F4, "examples/demo_respacing.json"],
+        ),
+    ]
+
+
+STEPS = [PROBE_STEP] + (f4_steps(WINNER) if WINNER else [])
 
 
 def main():
