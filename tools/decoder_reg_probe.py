@@ -134,6 +134,10 @@ def main():
         hp = cfg.basic_input(cfg_path)
         tr = CNFTrainer(hp)
         tr.load(-1)
+        if tr.state is not None and int(tr.state.epoch):
+            # the trainer treats hp.epochs as ADDITIONAL on resume (the
+            # reference contract); a wedge-retry should train the remainder
+            hp.epochs = max(args.epochs - int(tr.state.epoch), 0)
         tr.train(log_formats=())
 
         _, eval_rmae, _ = tr._build_train_fns(False)
@@ -146,23 +150,25 @@ def main():
         lat_rms = float(np.linalg.norm(latents) / np.sqrt(latents.size))
 
         def make_fit(n_steps, sensor_only, z_l2, _nf=nf_params, _xn=xn,
-                     _yn=ynorm):
+                     _yn=ynorm, chunk=250):
+            """Adam latent fit, CHUNKED into <=chunk-step programs.
+
+            The axon worker dies on single multi-minute XLA programs (two
+            probe generations crashed right after a 4000-step whole-fit
+            scan); the cosine schedule rides the Adam count in the carried
+            optimizer state, so chunking is bit-equivalent to one scan.
+            The sensor-only fit also decodes ONLY the sensor coordinates
+            (256x fewer points than the old full-grid decode + slice).
+            """
             sched = optax.cosine_decay_schedule(1e-2, n_steps, alpha=1e-2)
             opt = optax.adam(sched)
-            sens = jnp.asarray(sensors)
+            coords_fit = _xn[jnp.asarray(sensors)] if sensor_only else _xn
 
             @jax.jit
-            def fit(y_raw):
-                yn_t = _yn.normalize(y_raw)
-                z0 = jnp.zeros((y_raw.shape[0], latents.shape[-1]),
-                               jnp.float32)
-
+            def run_chunk(z, ost, yn_t):
                 def loss_fn(z):
-                    pred = tr.model(_nf, _xn, z[:, None, :])
-                    if sensor_only:
-                        mse = jnp.mean((pred[:, sens] - yn_t[:, sens]) ** 2)
-                    else:
-                        mse = jnp.mean((pred - yn_t) ** 2)
+                    pred = tr.model(_nf, coords_fit, z[:, None, :])
+                    mse = jnp.mean((pred - yn_t) ** 2)
                     return mse + z_l2 * jnp.mean(z ** 2)
 
                 def step(carry, _):
@@ -171,20 +177,37 @@ def main():
                     up, ost = opt.update(g, ost, z)
                     return (optax.apply_updates(z, up), ost), loss
 
-                (z, _), losses = jax.lax.scan(step, (z0, opt.init(z0)),
-                                              length=n_steps)
-                return z, losses[-1]
+                (z, ost), losses = jax.lax.scan(step, (z, ost), length=chunk)
+                return z, ost, losses[-1]
+
+            def fit(y_raw):
+                yn_t = _yn.normalize(y_raw)
+                if sensor_only:
+                    yn_t = yn_t[:, jnp.asarray(sensors)]
+                z = jnp.zeros((y_raw.shape[0], latents.shape[-1]),
+                              jnp.float32)
+                ost = opt.init(z)
+                loss = None
+                for _ in range(-(-n_steps // chunk)):
+                    z, ost, loss = run_chunk(z, ost, yn_t)
+                    jax.block_until_ready(z)
+                return z, loss
             return fit
 
+        # probes 1-2 fit a 16-row subsample of the held-out trajectory
+        # (every 4th snapshot): 4x cheaper than all 64 rows, same signal
+        sub = np.arange(0, n_held, max(n_held // 16, 1))[:16]
+        held_sub = held_flat[sub]
+
         # 1) full-field oracle on held-out trajectory
-        z, _ = make_fit(4000, False, 0.0)(jnp.asarray(held_flat))
+        z, _ = make_fit(2000, False, 0.0)(jnp.asarray(held_sub))
         dec = np.asarray(tr.infer(full_coords, z))
-        oracle = float(np.mean(per_channel_rmae(dec, held_flat)))
+        oracle = float(np.mean(per_channel_rmae(dec, held_sub)))
 
         # 2) sensor-only fit on held-out trajectory (what guidance sees)
-        z_s, _ = make_fit(4000, True, 1e-3)(jnp.asarray(held_flat))
+        z_s, _ = make_fit(3000, True, 1e-3)(jnp.asarray(held_sub))
         dec_s = np.asarray(tr.infer(full_coords, z_s))
-        sensor_fit = float(np.mean(per_channel_rmae(dec_s, held_flat)))
+        sensor_fit = float(np.mean(per_channel_rmae(dec_s, held_sub)))
 
         # 3) midpoint interpolation of adjacent training codes
         z_mid = jnp.asarray((latents[pair_lo] + latents[pair_lo + 1]) / 2)
@@ -200,7 +223,8 @@ def main():
         perturb = float(np.mean(per_channel_rmae(
             dec_p, np.asarray(fois[probe_rows]))))
 
-        row = {"knobs": knobs, "train_rmae": train_rmae,
+        row = {"knobs": knobs, "epochs_trained": int(tr.state.epoch),
+               "train_rmae": train_rmae,
                "oracle_rmae": oracle, "sensor_fit_rmae": sensor_fit,
                "interp_rmae": interp, "perturb_rmae": perturb,
                "latent_rms": lat_rms,
