@@ -274,10 +274,28 @@ class CNFTrainer:
         parity."""
         return str(self.hp.get("nf_optim_cadence", "epoch")) == "batch"
 
+    def _fresh_latents(self) -> jnp.ndarray:
+        """Fresh latent table: zeros (reference scripts/train.py parity), or
+        a precomputed per-sample initialization loaded from ``latent_init``
+        (beyond-reference, opt-in) — e.g. scaled POD coefficients, which
+        organize the latent space globally from step 0 (the f3 postmortem's
+        PCA-ceiling probe measured a LINEAR 256-dim code generalizing 2x
+        better held-out than the zero-init auto-decoded space)."""
+        path = self.hp.get("latent_init")
+        if not path:
+            return jnp.zeros((self.N_samples, self.hp.hidden_size),
+                             jnp.float32)
+        init = np.load(path)
+        if init.shape != (self.N_samples, self.hp.hidden_size):
+            raise ValueError(
+                f"latent_init {path}: shape {init.shape} != "
+                f"({self.N_samples}, {self.hp.hidden_size})")
+        return jnp.asarray(init, jnp.float32)
+
     def init_state(self, key=None) -> CNFTrainState:
         key = key if key is not None else jax.random.key(0)
         nf_params = self.model.init_params(key)
-        latents = jnp.zeros((self.N_samples, self.hp.hidden_size), jnp.float32)
+        latents = self._fresh_latents()
         opt_nf, opt_lat = self._optimizers()
         return CNFTrainState(
             nf_params=nf_params,
@@ -686,8 +704,7 @@ class CNFTrainer:
         # by the CURRENT dataset, not the checkpoint's) and their optimizer
         # stay fresh (reference :509-527 loads neither)
         if siren_only:
-            latents = jnp.zeros((self.N_samples, self.hp.hidden_size),
-                                jnp.float32)
+            latents = self._fresh_latents()
         else:
             latents = latents_ck
             self.N_samples = latents_ck.shape[0]
@@ -710,8 +727,7 @@ class CNFTrainer:
         nf_params = jax.tree.map(jnp.asarray, ck["params"])
         if siren_only or "latents" not in ck:
             # fresh table sized by the CURRENT dataset (reference :509-527)
-            latents = jnp.zeros((self.N_samples, self.hp.hidden_size),
-                                jnp.float32)
+            latents = self._fresh_latents()
         else:
             latents = jnp.asarray(ck["latents"])
             self.N_samples = latents.shape[0]

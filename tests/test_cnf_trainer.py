@@ -453,3 +453,23 @@ class TestLoadSizingAndNoopTrain:
             np.asarray(runs["l2only"].state.latents))))
         n_pl = float(np.mean(np.square(np.asarray(runs["plain"].state.latents))))
         assert n_reg < n_pl, (n_reg, n_pl)
+
+
+def test_latent_init_table(tmp_path):
+    """latent_init (beyond-reference, opt-in) seeds the fresh latent table
+    from an .npy file (e.g. POD coefficients via tools/pca_ceiling.py
+    --dump-latents); shape mismatches are rejected."""
+    init = np.linspace(-0.3, 0.3, 16 * 16).reshape(16, 16).astype(np.float32)
+    np.save(tmp_path / "zinit.npy", init)
+    hp = make_case(tmp_path, epochs=1,
+                   latent_init=str(tmp_path / "zinit.npy"))
+    tr = CNFTrainer(hp)
+    st = tr.init_state()
+    np.testing.assert_array_equal(np.asarray(st.latents), init)
+
+    bad = np.zeros((4, 16), np.float32)
+    np.save(tmp_path / "bad.npy", bad)
+    hp2 = make_case(tmp_path, epochs=1,
+                    latent_init=str(tmp_path / "bad.npy"))
+    with pytest.raises(ValueError, match="latent_init"):
+        CNFTrainer(hp2).init_state()

@@ -50,6 +50,13 @@ ARMS = [
     ("n15", {"latent_noise_std": 0.15}),
     ("n05_l2", {"latent_noise_std": 0.05, "latent_l2": 3e-3}),
     ("l2", {"latent_l2": 3e-3}),
+    # POD-initialized latent table (tools/pca_ceiling.py --dump-latents):
+    # the linear ceiling probe showed a 256-dim LINEAR code generalizing 2x
+    # better held-out than the zero-init auto-decoded space, so organize
+    # the space globally from step 0 and let the SIREN refine it
+    ("pca", {"latent_init": "/tmp/regprobe/pca_latents.npy"}),
+    ("pca_n05", {"latent_init": "/tmp/regprobe/pca_latents.npy",
+                 "latent_noise_std": 0.05}),
 ]
 
 

@@ -36,6 +36,11 @@ def main():
     ap.add_argument("--seed", type=int, default=777,
                     help="held-out simulation seed (training used 0)")
     ap.add_argument("--json-out", default="examples/pca_ceiling.json")
+    ap.add_argument("--dump-latents", default=None,
+                    help="also save the training rows' POD coefficients "
+                         "(energy-ordered, globally scaled to rms 0.3 — the "
+                         "measured converged latent-table scale) as an .npy "
+                         "latent_init table for CNFTrainer")
     args = ap.parse_args()
 
     from examples.demo_turbulence import FLOW_PRESETS, simulate_turbulence
@@ -62,6 +67,13 @@ def main():
     held = simulate_turbulence(c["grid"], n_snap, 1, seed=args.seed,
                                **FLOW_PRESETS[c.get("flow", "decaying")])
     H = held.reshape(-1, npts * nc).astype(np.float32)
+
+    if args.dump_latents:
+        coeffs = Xc @ V                       # (n, k)
+        rms = float(np.sqrt((coeffs ** 2).mean()))
+        np.save(args.dump_latents, (coeffs * (0.3 / rms)).astype(np.float32))
+        print(f"dumped latent init {coeffs.shape} (rms 0.3) "
+              f"-> {args.dump_latents}")
 
     rep = {"run_dir": os.path.basename(out), "k": k, "seed": args.seed,
            "train_explained_var": float((s[:k] ** 2).sum() / (Xc ** 2).sum())}
