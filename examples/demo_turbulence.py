@@ -206,6 +206,11 @@ def main():
                          "a non-smooth latent space)")
     ap.add_argument("--latent-l2", type=float, default=0.0,
                     help="DeepSDF-style code-norm prior weight in stage 1")
+    ap.add_argument("--latent-init", default=None,
+                    help=".npy latent-table init (e.g. POD coefficients "
+                         "from tools/pca_ceiling.py --dump-latents); only "
+                         "affects FRESH stage-1 runs, resumed checkpoints "
+                         "keep their latents")
     ap.add_argument("--nf-cadence", choices=["epoch", "batch"],
                     default="epoch",
                     help="decoder optimizer cadence: 'epoch' = reference "
@@ -338,6 +343,7 @@ def main():
         **({"latent_noise_std": args.latent_noise_std}
            if args.latent_noise_std else {}),
         **({"latent_l2": args.latent_l2} if args.latent_l2 else {}),
+        **({"latent_init": args.latent_init} if args.latent_init else {}),
     }
     cnf_yml = os.path.join(out_dir, "cnf.yml")
     with open(cnf_yml, "w") as f:

@@ -40,6 +40,9 @@ WINNER_KNOBS = {
     "n15": ["--latent-noise-std", "0.15"],
     "n05_l2": ["--latent-noise-std", "0.05", "--latent-l2", "3e-3"],
     "l2": ["--latent-l2", "3e-3"],
+    "pca": ["--latent-init", "/tmp/regprobe/pca_latents.npy"],
+    "pca_n05": ["--latent-init", "/tmp/regprobe/pca_latents.npy",
+                "--latent-noise-std", "0.05"],
     "base": [],
 }
 
