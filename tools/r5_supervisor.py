@@ -107,6 +107,7 @@ def f4_steps(winner):
             [sys.executable, "-u", "examples/demo_report.py", "--out", F4],
             [F4, "examples/demo_report.json"],
         ),
+    ] + ([
         (
             "f4 respacing study (n_gen 128)",
             10800, 3,
@@ -114,10 +115,12 @@ def f4_steps(winner):
              "--out", F4, "--n-gen", "128"],
             [F4, "examples/demo_respacing.json"],
         ),
-    ]
+    ] if os.environ.get("R5_RESPACING") else [])
 
 
-STEPS = [PROBE_STEP] + (f4_steps(WINNER) if WINNER else [])
+# once a winner is chosen the probe has served its purpose — rerunning it
+# would retrain any arm missing from the JSON (the queue was trimmed mid-round)
+STEPS = ([] if WINNER else [PROBE_STEP]) + (f4_steps(WINNER) if WINNER else [])
 
 
 def main():
