@@ -104,7 +104,8 @@ def f4_steps(winner):
         (
             "f4 quality report (n_gen 256, 1000 steps)",
             10800, 3,
-            [sys.executable, "-u", "examples/demo_report.py", "--out", F4],
+            [sys.executable, "-u", "examples/demo_report.py", "--out", F4,
+             "--n-gen", "256", "--sample-steps", "1000"],
             [F4, "examples/demo_report.json"],
         ),
     ] + ([
