@@ -480,7 +480,7 @@ def main():
                      device_data=train.astype(np.float32),
                      batch_size=diff_batch, lr=1e-4, ema_rate="0.999",
                      log_interval=200,
-                     save_interval=10 ** 9 if args.fast else 10000,
+                     save_interval=10 ** 9 if args.fast else 2500,
                      lr_anneal_steps=diff_steps,
                      resume_checkpoint=resume_path,
                      steps_per_call=1 if args.fast else 25,
