@@ -61,11 +61,12 @@ def main():
                     help="reverse steps for the final runs")
     ap.add_argument("--seed", type=int, default=777,
                     help="held-out simulation seed (training used 0)")
-    ap.add_argument("--scales", default="0.03,0.1,0.3,1.0",
-                    help="guidance scales swept on trajectory 0 (the r2 "
-                         "sweep 0.3/1/3 sat entirely in the over-guided "
-                         "regime: larger scales gave WORSE sensor misfit "
-                         "and collapsed the integral timescale)")
+    ap.add_argument("--scales", default="0.1,0.3,1.0,3.0",
+                    help="guidance scales swept on trajectory 0.  The f3 "
+                         "optimum sat at the old 1.0 boundary (ps@1.0 "
+                         "0.903 < ps@0.3 0.913) so the default sweep now "
+                         "extends to 3.0 and drops 0.03 (worst f3 "
+                         "candidate by 8 points)")
     ap.add_argument("--prior-check", action=argparse.BooleanOptionalAction,
                     default=True,
                     help="prior-coverage diagnostic: oracle latent fit of "
@@ -366,6 +367,13 @@ def main():
     print(f"[3/5] tuning guidance on trajectory 0 ({args.steps} steps): "
           f"{cands} ...")
     coords0, yn0 = full_coords[sensor_idx[0]], ynorm_sliced(sensor_idx[0])
+    # the acceptance gates score physics as well as pointwise error — a
+    # candidate that wins field rMAE while collapsing the integral
+    # timescale (f3 chose ps_linear_decay@1.0: rMAE 0.902 but timescale
+    # ratio 0.23 vs the >=0.70 gate) ships auto-failing evidence, so the
+    # tuner filters on traj-0 physics before ranking by rMAE
+    true_grid0 = held.reshape(args.n_held, n_snap, grid, grid, 2)[0]
+    tau_true0 = max(float(integral_timescale(true_grid0[..., 0], 1.0)), 1e-9)
     sweep = {}
     for method, s in cands:
         samples, final_dist = run_ensemble(coords0, yn0, measures[0], s,
@@ -376,18 +384,38 @@ def main():
         tau = float(np.mean([integral_timescale(
             fields[e].reshape(n_snap, grid, grid, 2)[..., 0], 1.0)
             for e in range(fields.shape[0])]))
+        cand_grid = fields.reshape(-1, n_snap, grid, grid, 2)
+        cspec = float(spectra_relative_error(
+            np.concatenate([cand_grid[..., 0],
+                            cand_grid[..., 1]]).reshape(-1, grid),
+            np.concatenate([true_grid0[..., 0],
+                            true_grid0[..., 1]]).reshape(-1, grid), axis=-1))
         sweep[f"{method}@{s}"] = {
             "field_rmae": frmae,
             "sensor_misfit": float(np.mean(final_dist)),
             "timescale": tau,
+            "timescale_ratio": tau / tau_true0,
+            "spectra_error": cspec,
         }
         print(f"      {method}@{s}: field rMAE {frmae:.4f}, sensor misfit "
               f"{np.mean(final_dist):.3f}, timescale {tau:.2f} "
+              f"(ratio {tau / tau_true0:.2f}), spectra {cspec:.3f} "
               f"({time.time()-t0:.0f}s)")
-    best_key = min(sweep, key=lambda k: sweep[k]["field_rmae"])
+    # physics-qualified first (slightly loose vs the pooled gates: the
+    # tuning estimate is a 4-member single-trajectory statistic), best
+    # rMAE within; fall back to best rMAE overall if nothing qualifies
+    qualified = [k for k, v in sweep.items()
+                 if v["timescale_ratio"] >= 0.6 and v["spectra_error"] <= 0.10]
+    pool = qualified or list(sweep)
+    if not qualified:
+        print("      WARNING: no candidate meets the traj-0 physics bars "
+              "(timescale ratio >= 0.6, spectra <= 0.10) — falling back "
+              "to best field rMAE")
+    best_key = min(pool, key=lambda k: sweep[k]["field_rmae"])
     best_method, best_scale = best_key.split("@")
     best_scale = float(best_scale)
-    print(f"      chosen: {best_method} scale {best_scale}")
+    print(f"      chosen: {best_method} scale {best_scale} "
+          f"(physics-qualified: {len(qualified)}/{len(sweep)})")
 
     # --- [4/5] full-step DPS reconstruction of every held-out traj -------
     print(f"[4/5] DPS reconstruction: {args.n_held} trajectories x "
