@@ -106,21 +106,28 @@ def main():
     diff = create_gaussian_diffusion(steps=1000, noise_schedule="cosine")
     n_ts = diff.num_timesteps
 
+    K_ENS = 4
+
     @jax.jit
     def roundtrip(params, x0, t_star, key):
-        xt = diff.q_sample(x0, jnp.full((x0.shape[0],), t_star, jnp.int32),
-                           jax.random.normal(key, x0.shape, x0.dtype))
+        """K_ENS independent noise-and-denoise round trips (vmapped)."""
+        def one(k):
+            xt = diff.q_sample(
+                x0, jnp.full((x0.shape[0],), t_star, jnp.int32),
+                jax.random.normal(k, x0.shape, x0.dtype))
 
-        def model_fn(x, t, **kw):
-            return model.apply(params, x, t)
+            def model_fn(x, t, **kw):
+                return model.apply(params, x, t)
 
-        def step(img, i):
-            tt = jnp.full((img.shape[0],), i, jnp.int32)
-            o = diff.p_sample(model_fn, img, tt, jax.random.fold_in(key, i))
-            return jnp.where(i <= t_star, o["sample"], img), None
+            def step(img, i):
+                tt = jnp.full((img.shape[0],), i, jnp.int32)
+                o = diff.p_sample(model_fn, img, tt, jax.random.fold_in(k, i))
+                return jnp.where(i <= t_star, o["sample"], img), None
 
-        img, _ = jax.lax.scan(step, xt, jnp.arange(n_ts - 1, -1, -1))
-        return img
+            img, _ = jax.lax.scan(step, xt, jnp.arange(n_ts - 1, -1, -1))
+            return img
+
+        return jax.vmap(one)(jax.random.split(key, K_ENS))
 
     @jax.jit
     def uncond(params, key):
@@ -129,6 +136,18 @@ def main():
         return diff.p_sample_loop(
             model_fn, (args.n_uncond, 1, window, latent), key)
 
+    # calibration: the raw round-trip rel-L2 is NOT a pass/fail number.
+    # For latent images with per-entry std sigma (~0.40 in unit-interval
+    # units) under the cosine schedule, even an IDEAL structureless
+    # Gaussian prior N(0, sigma^2 I) has posterior-sample rel-L2
+    #   sqrt(2 v / sigma^2),  v = sigma^2 (1-ab) / (ab sigma^2 + 1 - ab)
+    # at t* (ab = alpha_bar(t*)); at t* = T/4 and sigma = 0.4 that is
+    # ~1.02 — the f2/f3 "failures" (0.84-1.2) sat essentially AT the
+    # structureless bound, not below some achievable ideal.  What a
+    # LEARNED prior can beat is this bound (temporal smoothness, PCA
+    # energy decay), so the probe reports ratios vs it: sample_gain > 1
+    # and mean_gain > 1 mean the prior holds real structure.
+    sigma2 = float(np.var(wins))
     t_fracs = [float(s) for s in args.t_fracs.split(",")]
     rng = np.random.default_rng(5)
     pick = rng.choice(wins.shape[0], size=min(args.n_windows, wins.shape[0]),
@@ -138,19 +157,37 @@ def main():
         x0 = jnp.asarray(wins[wi])[None, None]            # (1,1,T,L)
         for fr in t_fracs:
             t_star = int(fr * n_ts)
+            ab = float(diff.s.alphas_cumprod[t_star])
+            v = sigma2 * (1 - ab) / (ab * sigma2 + 1 - ab)
+            ideal_sample = float(np.sqrt(2 * v / sigma2))
+            ideal_mean = float(np.sqrt(v * (1 + 1 / K_ENS) / sigma2))
             img = roundtrip(ema, x0, t_star,
                             jax.random.key(1000 + int(wi)))
-            rt = np.asarray(img)[0, 0]
-            rel = float(np.linalg.norm(rt - wins[wi])
-                        / np.linalg.norm(wins[wi]))
+            rt = np.asarray(img)[:, 0, 0]                 # (K, T, L)
+            rels = [float(np.linalg.norm(r - wins[wi])
+                          / np.linalg.norm(wins[wi])) for r in rt]
+            rel = float(np.mean(rels))
+            rel_mean = float(np.linalg.norm(rt.mean(0) - wins[wi])
+                             / np.linalg.norm(wins[wi]))
             dec = np.asarray(tr.infer(
-                full_coords, jnp.asarray(unit_interval_to_minmax(rt, mx, mn))))
+                full_coords,
+                jnp.asarray(unit_interval_to_minmax(rt.mean(0), mx, mn))))
             frmae = float(np.mean(per_channel_rmae(
                 dec.reshape(window, grid * grid, 2), twins[wi])))
             rows.append({"window": int(wi), "t_frac": fr,
-                         "latent_rel_l2": rel, "field_rmae": frmae})
-            print(f"  win {wi} t*={fr:.2f}: latent relL2 {rel:.3f}, "
-                  f"field rMAE {frmae:.3f} ({time.time()-t0:.0f}s)",
+                         "latent_rel_l2": rel,
+                         "latent_rel_l2_ens_mean": rel_mean,
+                         "ideal_gaussian_rel_l2": ideal_sample,
+                         "ideal_gaussian_rel_l2_ens_mean": ideal_mean,
+                         "sample_gain": ideal_sample / max(rel, 1e-9),
+                         "mean_gain": ideal_mean / max(rel_mean, 1e-9),
+                         "field_rmae": frmae})
+            print(f"  win {wi} t*={fr:.2f}: latent relL2 {rel:.3f} "
+                  f"(ideal {ideal_sample:.3f}, gain "
+                  f"{ideal_sample / max(rel, 1e-9):.2f}), ens-mean relL2 "
+                  f"{rel_mean:.3f} (ideal {ideal_mean:.3f}, gain "
+                  f"{ideal_mean / max(rel_mean, 1e-9):.2f}), field rMAE "
+                  f"{frmae:.3f} ({time.time()-t0:.0f}s)",
                   flush=True)
 
     g = np.asarray(uncond(ema, jax.random.key(7)))[:, 0]
@@ -164,6 +201,11 @@ def main():
             [r["latent_rel_l2"] for r in rows])),
         "train_roundtrip_field_rmae_mean": float(np.mean(
             [r["field_rmae"] for r in rows])),
+        # >1: the prior beats the structureless-Gaussian posterior bound
+        # (i.e. it has learned real latent structure); ~1: it holds only
+        # the marginal; <1: it actively destroys in-support data
+        "sample_gain_mean": float(np.mean([r["sample_gain"] for r in rows])),
+        "mean_gain_mean": float(np.mean([r["mean_gain"] for r in rows])),
         "uncond_dispersion": disp,
         "elapsed_s": round(time.time() - t0, 1),
     }
