@@ -176,9 +176,13 @@ class UNetPlan:
 # token count at which the Pallas flash kernel's O(N) memory starts to
 # matter: past it, the dense path's saved (BH, N, N) softmax weights (the
 # VJP residual) reach GB scale per attention block and crowd out HBM.
-# Below it dense XLA attention is both faster (measured on v5e at 2304 and
-# 9216 tokens with the current kernel) and small enough to keep.
-FLASH_MIN_TOKENS = 8192
+# Below it dense XLA attention is both faster and small enough to keep:
+# measured on v5e at 2304, 9216 (examples/xl_steady.json flash_vs_dense
+# 0.98 — flash is a ~2% LOSS at 9216 tokens, its only value there being
+# O(N) memory, and the (BH,N,N) residuals still fit at the xl width), so
+# the crossover sits at the next exercised scale.  Re-measure with
+# tools/xl_steady.py before lowering.
+FLASH_MIN_TOKENS = 16384
 
 
 def build_plan(cfg: UNetConfig) -> UNetPlan:

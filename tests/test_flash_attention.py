@@ -167,10 +167,12 @@ class TestUNetFlashPlumbing:
                                num_res_blocks=1, channel_mult="1,2",
                                attention_resolutions="48", num_heads=2)
         assert not m.cfg.use_flash_attention
-        # beyond-reference scale: 768^2 at ds8 -> 9216 tokens: flash auto-on
-        m = junet.create_model(image_size=768, num_channels=32,
+        # beyond-crossover scale: 1536^2 at ds8 -> 36864 tokens: flash
+        # auto-on (768^2/9216 sits below the measured crossover,
+        # examples/xl_steady.json)
+        m = junet.create_model(image_size=1536, num_channels=32,
                                num_res_blocks=1, channel_mult="1,2",
-                               attention_resolutions="96", num_heads=2)
+                               attention_resolutions="192", num_heads=2)
         assert m.cfg.use_flash_attention
         # explicit override wins both ways
         m = junet.create_model(image_size=384, num_channels=32,
@@ -258,11 +260,13 @@ class TestUNetRingPlumbing:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=5e-5, atol=5e-5)
 
-    def test_xl_recipe_auto_enables_flash_at_scale(self):
+    def test_xl_recipe_auto_keeps_dense_below_crossover(self):
         """`recipes/diffusion/case4_xl_768.yml` (additive beyond-reference
-        recipe) must auto-enable the O(N)-memory flash kernel exactly at the
-        blocks whose token count crosses FLASH_MIN_TOKENS: ds8 -> 9216
-        tokens (flash), ds16 -> 2304 and ds32 -> 576 (dense)."""
+        recipe): after the measured re-gate (examples/xl_steady.json:
+        flash_vs_dense 0.98 at 9216 tokens — flash is a speed LOSS at the
+        recipe's largest block and its (BH,N,N) dense residuals still fit)
+        auto mode must keep every 768^2 block on dense XLA attention:
+        ds8 -> 9216 < FLASH_MIN_TOKENS."""
         import os
         import yaml
 
@@ -288,9 +292,33 @@ class TestUNetRingPlumbing:
                                      *model.plan.output_blocks)
                        for spec in block
                        if isinstance(spec, junet.AttnSpec)]
-        assert any(flash_flags), "no attention block auto-enabled flash"
-        assert not all(flash_flags), \
-            "sub-threshold blocks (ds16/ds32) must stay on the dense path"
+        assert flash_flags, "xl recipe lost its attention blocks"
+        assert not any(flash_flags), \
+            "all 768^2 blocks sit below the measured flash crossover " \
+            "(9216 tokens: dense is faster, xl_steady.json) and must " \
+            "stay on the dense path"
+
+        # the kernel still auto-engages past the crossover: the same plan
+        # at 1536^2 puts ds8 at 36864 tokens (ds16 at 9216 stays dense)
+        big = junet.create_model(
+            image_size=1536, num_channels=hp["num_channels"],
+            num_res_blocks=hp["num_res_blocks"],
+            channel_mult=hp["channel_mult"],
+            attention_resolutions="192,96,48",
+            num_heads=hp["num_heads"],
+            num_head_channels=hp["num_head_channels"],
+            use_flash_attention=hp["use_flash_attention"],
+            use_checkpoint=hp["use_checkpoint"])
+        big_flags = [spec.use_flash
+                     for block in (*big.plan.input_blocks,
+                                   big.plan.middle_block,
+                                   *big.plan.output_blocks)
+                     for spec in block
+                     if isinstance(spec, junet.AttnSpec)]
+        assert any(big_flags), \
+            "no attention block auto-enabled flash past the crossover"
+        assert not all(big_flags), \
+            "sub-crossover blocks must stay on the dense path"
 
     def test_ring_skips_indivisible_token_counts(self):
         """Token counts not divisible by the mesh fall back to the local
@@ -314,10 +342,11 @@ class TestPerBlockFlashGating:
         kernel; sub-threshold blocks in the same model stay on XLA."""
         from confild_tpu.models import unet as junet
 
-        # 768^2 at ds 8/16 -> 9216 / 2304 tokens: only the 9216 block flips
-        m = junet.create_model(image_size=768, num_channels=32,
+        # 1536^2 at ds 8/16 -> 36864 / 9216 tokens: only the 36864 block
+        # flips (9216 sits below the measured crossover, xl_steady.json)
+        m = junet.create_model(image_size=1536, num_channels=32,
                                num_res_blocks=1, channel_mult="1,1,1,1,1",
-                               attention_resolutions="96,48", num_heads=2)
+                               attention_resolutions="192,96", num_heads=2)
         assert m.cfg.use_flash_attention and m.cfg.flash_auto
         flags = {}
         for block in (*m.plan.input_blocks, m.plan.middle_block,
