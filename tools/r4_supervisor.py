@@ -152,7 +152,13 @@ def run_step(name, timeout_s, retries, cmd, watch_paths, stall_s):
                 break
             ticks = cpu_ticks(proc.pid)
             mtime = newest_mtime(watch_paths)
-            moved = (ticks is None or ticks - last_ticks >= 50
+            # the CPU-liveness bar scales with the stall window: a wedged
+            # RPC still drips ~0.1 ticks/s (observed r5), which crosses a
+            # flat 50-tick bar every ~8 min and defeats any window >500s;
+            # demanding stall_s/5 ticks (1.8s CPU per 900s) keeps healthy
+            # compute/compile phases alive while drip-wedges get caught
+            moved = (ticks is None
+                     or ticks - last_ticks >= max(50, stall_s // 5)
                      or mtime > last_mtime)
             if moved:
                 last_ticks = ticks if ticks is not None else last_ticks
