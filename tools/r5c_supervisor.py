@@ -39,6 +39,12 @@ STEPS = [
         [F5],
     ),
     (
+        "f5 prior round-trip acceptance probe",
+        3600, 4,
+        [sys.executable, "-u", "tools/prior_roundtrip.py", "--out", F5],
+        [F5],
+    ),
+    (
         "f5 conditional DPS experiment (128 sensors)",
         10800, 3,
         [sys.executable, "-u", "examples/demo_conditional.py",
