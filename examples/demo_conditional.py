@@ -213,18 +213,16 @@ def main():
         # decoder: 600 fixed-lr steps matched the f2 decoder, but a sharper
         # decoder (f3: hidden 384x6, train rMAE 0.07) has a harder latent
         # landscape — match the trainer's own cadence (cosine-decayed
-        # latent lr, scripts/train.py semantics) over 4000 steps
-        n_fit = 4000
+        # latent lr, scripts/train.py semantics) over 4000 steps.  The fit
+        # runs as 500-step segments: the axon worker dies on multi-minute
+        # SINGLE XLA programs (observed here 11:33 killing the whole
+        # conditional step), and a segmented scan is wedge-survivable
+        n_fit, seg = 4000, 500
         fit_sched = optax.cosine_decay_schedule(1e-2, n_fit, alpha=1e-2)
         opt = optax.adam(fit_sched)
 
         @jax.jit
-        def fit_oracle(y_target):
-            """Latent rows minimizing the frozen-decoder misfit (latent-only
-            Adam with cosine lr decay; the CNF trainer's fix_nf cadence)."""
-            yn = ynorm_jax.normalize(y_target)
-            z0 = jnp.zeros((y_target.shape[0], latent), jnp.float32)
-
+        def fit_segment(z, ost, yn):
             def loss_fn(z):
                 pred = tr.model(nf_params, xn_full, z[:, None, :])
                 return jnp.mean((pred - yn) ** 2)
@@ -235,10 +233,22 @@ def main():
                 up, ost = opt.update(g, ost, z)
                 return (optax.apply_updates(z, up), ost), loss
 
-            (z, _), losses = jax.lax.scan(step, (z0, opt.init(z0)),
-                                          length=n_fit)
+            (z, ost), losses = jax.lax.scan(step, (z, ost), length=seg)
+            return z, ost, losses[-1]
+
+        def fit_oracle(y_target):
+            """Latent rows minimizing the frozen-decoder misfit (latent-only
+            Adam with cosine lr decay; the CNF trainer's fix_nf cadence)."""
+            yn = ynorm_jax.normalize(y_target)
+            z = jnp.zeros((y_target.shape[0], latent), jnp.float32)
+            ost = opt.init(z)
+            loss_mid = loss_end = jnp.float32(0)
+            for s in range(n_fit // seg):
+                z, ost, loss_end = fit_segment(z, ost, yn)
+                if s == (n_fit // seg) // 2 - 1:
+                    loss_mid = loss_end
             # convergence evidence: late-fit loss plateau ratio
-            return z, losses[-1], losses[n_fit // 2]
+            return z, loss_end, loss_mid
 
         @jax.jit
         def roundtrip(params, x0, t_star, key):

@@ -126,6 +126,22 @@ def kill_tree(proc):
         proc.wait()
 
 
+def _worker_crashed(tail_bytes=8192):
+    """True when the step's LOG tail shows an axon-environment death
+    (worker crash/restart) rather than a code bug — those are retryable:
+    the chip-side worker occasionally dies on long single XLA programs
+    (observed r5 11:33 killing a whole evidence step with retries left)."""
+    try:
+        with open(LOG, "rb") as f:
+            f.seek(0, 2)
+            f.seek(max(f.tell() - tail_bytes, 0))
+            tail = f.read().decode(errors="replace")
+    except OSError:
+        return False
+    return ("TPU worker process crashed" in tail
+            or "UNAVAILABLE: TPU worker" in tail)
+
+
 def run_step(name, timeout_s, retries, cmd, watch_paths, stall_s):
     for attempt in range(1, retries + 1):
         log(f"{name} (attempt {attempt}/{retries})")
@@ -174,7 +190,7 @@ def run_step(name, timeout_s, retries, cmd, watch_paths, stall_s):
         log(f"{name} rc={rc}")
         if rc == 0:
             return True
-        if not wedged and rc != "timeout":
+        if not wedged and rc != "timeout" and not _worker_crashed():
             return False  # genuine failure: don't burn retries
         time.sleep(30)
     return False
