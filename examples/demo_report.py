@@ -20,6 +20,7 @@ import argparse
 import json
 import os
 import sys
+import time
 
 import numpy as np
 
@@ -27,6 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    t0 = time.time()
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=None, help="demo output dir")
     ap.add_argument("--n-gen", type=int, default=None)
@@ -128,16 +130,56 @@ def main():
     # near-linearly on the chip (batch 8 -> 64 measured ~6x)
     sample_bs = min(64, max(n_gen, 1))
 
+    # the reverse loop runs as 250-step segments with a host sync + run-dir
+    # heartbeat between them: a batch-64 1000-step program is a multi-minute
+    # single XLA call, which (a) the axon worker sometimes dies on and
+    # (b) looks dead to the supervisor's CPU/mtime liveness watch (observed
+    # r5 11:49: a healthy first call was killed as wedged and the kill left
+    # the worker in FailedPrecondition).  Same trajectory as p_sample_loop:
+    # identical noise/loop key split and per-step fold_in.
+    SEG = 250
+
     @jax.jit
-    def sample(params, key):
+    def sample_seg(params, img, ts_chunk, key):
         def model_fn(x, t, **kw):
             return model.apply(params, x, t)
-        return respaced.p_sample_loop(model_fn,
-                                      (sample_bs, 1, window, latent), key)
+
+        def step(img, i):
+            out = respaced.p_sample(model_fn, img,
+                                    jnp.full((img.shape[0],), i, jnp.int32),
+                                    jax.random.fold_in(key, i))
+            return out["sample"], None
+
+        img, _ = jax.lax.scan(step, img, ts_chunk)
+        return img
+
+    hb_path = os.path.join(out_dir, "dlogs")
+    os.makedirs(hb_path, exist_ok=True)
+    hb_path = os.path.join(hb_path, "report_heartbeat")
+
+    def heartbeat(msg):
+        with open(hb_path, "a") as f:
+            f.write(msg + "\n")
+        print(f"      {msg} ({time.time() - t0:.0f}s)", flush=True)
+
+    def sample(params, key):
+        noise_key, loop_key = jax.random.split(key)
+        img = jax.random.normal(noise_key, (sample_bs, 1, window, latent),
+                                jnp.float32)
+        ts = np.arange(respaced.num_timesteps - 1, -1, -1)
+        for chunk in np.array_split(ts, max(len(ts) // SEG, 1)):
+            img = sample_seg(params, img, jnp.asarray(chunk), loop_key)
+            # force a host read: block_until_ready returns early over the
+            # axon tunnel
+            _ = float(jnp.sum(img))
+            heartbeat(f"sampling: reached t={int(chunk[-1])}")
+        return np.asarray(img)
 
     gen_batches = []
     for b in range(max(-(-n_gen // sample_bs), 1)):
-        gen_batches.append(np.asarray(sample(ema, jax.random.key(100 + b))))
+        gen_batches.append(sample(ema, jax.random.key(100 + b)))
+        heartbeat(f"ensemble batch {b + 1} done "
+                  f"({sum(g.shape[0] for g in gen_batches)}/{n_gen})")
     gen = np.concatenate(gen_batches)[:n_gen, 0]
     gen_lat = unit_interval_to_minmax(gen, mx, mn)
     gen_fields = np.stack([

@@ -139,7 +139,9 @@ def _worker_crashed(tail_bytes=8192):
     except OSError:
         return False
     return ("TPU worker process crashed" in tail
-            or "UNAVAILABLE: TPU worker" in tail)
+            or "UNAVAILABLE: TPU worker" in tail
+            or "TPU backend error" in tail
+            or "FAILED_PRECONDITION" in tail)
 
 
 def run_step(name, timeout_s, retries, cmd, watch_paths, stall_s):

@@ -30,6 +30,13 @@ STEPS = [
         [F4, "examples/demo_conditional.json"],
     ),
     (
+        "f4 quality report (n_gen 256, 1000 steps) [segmented]",
+        10800, 4,
+        [sys.executable, "-u", "examples/demo_report.py", "--out", F4,
+         "--n-gen", "256", "--sample-steps", "1000"],
+        [F4, "examples/demo_report.json"],
+    ),
+    (
         "f5 latent fits (48 extra trajectories, frozen f4 decoder)",
         7200, 8,
         [sys.executable, "-u", "tools/f5_expand_prior.py", "fit"],
